@@ -1,0 +1,146 @@
+"""Synthetic octree builders for tests and benchmarks.
+
+The reference ships no test fixtures (it has no tests at all); these
+builders construct svox-schema trees from scratch so every renderer and
+refinement op can be validated hermetically.  Topology is grown exactly the
+way the reference's dynamic refinement grows trees (one chunk appended at
+the tail per split, relative child offsets, packed parent links —
+``src/cuda/renderer_kernel.cu:170-198``), so the fixtures double as
+ground truth for the refinement ops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from .data_format import DataFormat
+from .tree import N3Tree
+
+
+def build_host_tree(depth_map: Callable[[np.ndarray, int], bool],
+                    data_fn: Callable[[np.ndarray, float], np.ndarray],
+                    data_dim: int,
+                    basis_dim: int,
+                    N: int = 2,
+                    scale=(0.5, 0.5, 0.5),
+                    offset=(0.5, 0.5, 0.5),
+                    max_chunks: int = 100000):
+    """Grow a tree by predicate-driven subdivision.
+
+    Args:
+      depth_map: (voxel_center_tree_coords [3], depth) -> True to subdivide
+        that voxel one more level.  depth starts at 1 for root leaves
+        (matching the traversal's depth convention, ``rt_core.cuh:129-158``).
+      data_fn: (voxel_center_tree_coords [3], voxel_size) -> data_dim values
+        (SH coeffs channel-major + sigma last).
+      data_dim, basis_dim: payload geometry; data_dim == 3*basis_dim + 1.
+
+    Returns host arrays (data, child, parent, scale, offset, fmt).
+    """
+    N3 = N ** 3
+    child = [np.zeros(N3, np.int32)]
+    parent = [np.int32(0)]
+    # (corner in [0,1] tree coords, depth) of each chunk; root covers [0,1]
+    chunk_corner = [np.zeros(3, np.float64)]
+    chunk_depth = [1]
+
+    # BFS expansion
+    q = [0]
+    while q:
+        c = q.pop(0)
+        corner, depth = chunk_corner[c], chunk_depth[c]
+        size = float(N) ** (-depth)
+        for ci in range(N3):
+            dx, dy, dz = ci // (N * N), (ci // N) % N, ci % N
+            vc = corner + (np.array([dx, dy, dz], np.float64) + 0.5) * size
+            if depth_map(vc, depth) and len(child) < max_chunks:
+                nc = len(child)
+                child[c][ci] = nc - c
+                child.append(np.zeros(N3, np.int32))
+                parent.append(np.int32(c * N3 + ci))
+                chunk_corner.append(corner + np.array(
+                    [dx, dy, dz], np.float64) * size)
+                chunk_depth.append(depth + 1)
+                q.append(nc)
+
+    ncap = len(child)
+    data = np.zeros((ncap, N3, data_dim), np.float16)
+    for c in range(ncap):
+        corner, depth = chunk_corner[c], chunk_depth[c]
+        size = float(N) ** (-depth)
+        for ci in range(N3):
+            dx, dy, dz = ci // (N * N), (ci // N) % N, ci % N
+            vc = corner + (np.array([dx, dy, dz], np.float64) + 0.5) * size
+            data[c, ci] = np.asarray(data_fn(vc, size), np.float32).astype(
+                np.float16)
+    fmt = DataFormat(format="SH", basis_dim=basis_dim)
+    return (data, np.stack(child), np.asarray(parent, np.int32),
+            np.asarray(scale, np.float32), np.asarray(offset, np.float32),
+            fmt)
+
+
+def sphere_tree(basis_dim: int = 1, depth: int = 3,
+                max_capacity: Optional[int] = None,
+                sigma_inside: float = 20.0,
+                seed: int = 0, N: int = 2) -> N3Tree:
+    """A tree refined around a sphere surface — the standard test fixture.
+
+    Voxels near the sphere of radius 0.3 centered at (0.5,0.5,0.5) in tree
+    coords are subdivided to ``depth``; inside voxels get ``sigma_inside``
+    and smooth random-ish SH coefficients; outside is empty.
+    """
+    rng = np.random.RandomState(seed)
+    data_dim = 3 * basis_dim + 1
+
+    def depth_map(vc, d):
+        r = np.linalg.norm(vc - 0.5)
+        return d < depth and abs(r - 0.3) < 0.9 * (N ** float(-d))
+
+    def data_fn(vc, size):
+        r = np.linalg.norm(vc - 0.5)
+        out = np.zeros(data_dim, np.float32)
+        if r < 0.3 + size:
+            out[-1] = sigma_inside
+            # deterministic smooth coefficients from position
+            for c in range(3):
+                out[c * basis_dim] = np.sin(
+                    7.0 * vc[c] + c) * 1.5  # DC component
+                for b in range(1, basis_dim):
+                    out[c * basis_dim + b] = 0.3 * np.cos(
+                        5.0 * vc[(c + b) % 3] + b)
+        return out
+
+    host = build_host_tree(depth_map, data_fn, data_dim, basis_dim, N=N)
+    data, child, parent, scale, offset, fmt = host
+    return N3Tree.from_arrays(data, child, parent, scale, offset, fmt,
+                              max_capacity=max_capacity)
+
+
+def random_tree(n_chunks: int = 64, basis_dim: int = 4,
+                max_capacity: Optional[int] = None,
+                seed: int = 0, density: float = 3.0, N: int = 2) -> N3Tree:
+    """Random-topology tree: repeatedly split random leaves, random data."""
+    rng = np.random.RandomState(seed)
+    N3 = N ** 3
+    data_dim = 3 * basis_dim + 1
+    child = np.zeros((n_chunks, N3), np.int32)
+    parent = np.zeros(n_chunks, np.int32)
+    for nc in range(1, n_chunks):
+        # pick a random leaf slot among existing chunks
+        while True:
+            c = rng.randint(nc)
+            ci = rng.randint(N3)
+            if child[c, ci] == 0:
+                break
+        child[c, ci] = nc - c
+        parent[nc] = c * N3 + ci
+    data = (rng.randn(n_chunks, N3, data_dim) * 0.5).astype(np.float16)
+    data[..., -1] = rng.gamma(1.0, density, size=(n_chunks, N3)).astype(
+        np.float16)
+    fmt = DataFormat(format="SH", basis_dim=basis_dim)
+    return N3Tree.from_arrays(
+        data, child, parent,
+        np.full(3, 0.5, np.float32), np.full(3, 0.5, np.float32), fmt,
+        max_capacity=max_capacity)

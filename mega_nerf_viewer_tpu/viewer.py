@@ -1,0 +1,216 @@
+"""Stateful headless viewer.
+
+Replaces the reference's interactive loop (``main.cpp:603-616`` +
+``VolumeRenderer::Impl::render``, ``src/renderer/cuda_renderer.cpp:68-163``)
+with a headless frame-step driver that reproduces:
+
+  * per-frame camera change detection and visit-tracking gating
+    (``cuda_renderer.cpp:99-105``),
+  * dynamic splitting / resampling cadence with drag suppression
+    (``cuda_renderer.cpp:145-147``),
+  * capacity-pressure pruning (``cuda_renderer.cpp:149-154``),
+  * guided-sampling result caching keyed on camera state
+    (``can_reuse_results``, ``cuda_renderer.cpp:103-139``),
+  * M/R-toggle equivalents via ``RenderOptions`` mutation.
+
+The GL framebuffer is replaced by returned arrays; screenshots via
+``utils.write_png``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .camera import Camera
+from .n3tree import N3Tree
+from .options import RenderOptions
+from .ops.render import render_frame, to_rgba8
+from .utils.metrics import FpsCounter, FrameTimer
+from .utils.png import write_png
+
+
+class Viewer:
+    def __init__(self,
+                 tree: Optional[N3Tree] = None,
+                 camera: Optional[Camera] = None,
+                 options: Optional[RenderOptions] = None,
+                 max_tree_capacity: Optional[int] = None,
+                 model=None):
+        self.camera = camera or Camera()
+        self.options = options or RenderOptions()
+        self.model = model            # models.MegaNeRFModel or None
+        self.tree = None
+        self.max_tree_capacity = None
+        self.fps = FpsCounter()
+        self.timer = FrameTimer()
+        self._visit_tracker = None
+        self._prune_happened = False
+        self._can_reuse_results = False
+        self._guided_cache = None
+        if tree is not None:
+            self.set(tree, max_tree_capacity)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def get_backend() -> str:
+        import jax
+        return jax.devices()[0].platform.upper()
+
+    def set(self, tree: N3Tree, max_tree_capacity: Optional[int] = None):
+        """Install a tree (reference ``Impl::set``, cuda_renderer.cpp:498-516)."""
+        self.max_tree_capacity = max_tree_capacity or tree.max_capacity
+        if tree.max_capacity < self.max_tree_capacity:
+            # re-pad to the requested growth capacity (move_to_device analogue)
+            cap = int(tree.capacity)
+            tree = N3Tree.from_arrays(
+                np.asarray(tree.data)[:cap], np.asarray(tree.child)[:cap],
+                np.asarray(tree.parent)[:cap], np.asarray(tree.scale),
+                np.asarray(tree.offset), tree.data_format,
+                sample_counts=np.asarray(tree.sample_counts)[:cap],
+                max_capacity=self.max_tree_capacity)
+        self.tree = tree
+        self._visit_tracker = jnp.zeros(
+            (tree.max_capacity,), jnp.int32).at[0].set(1)
+        basis_dim = tree.data_format.basis_dim
+        self.options = self.options.replace(
+            basis_minmax=(0, max(basis_dim - 1, 0)))
+        self._can_reuse_results = False
+        self._guided_cache = None
+
+    def clear(self):
+        self.tree = None
+
+    def load_model(self, model_path: str):
+        """Load a Mega-NeRF TorchScript container (reference
+        ``Impl::load_model``, cuda_renderer.cpp:518-543)."""
+        from .models import MegaNeRFModel
+        self.model = MegaNeRFModel.from_torchscript(model_path)
+        self.options = self.options.replace(
+            need_viewdir=self.model.need_viewdir)
+        if (self.options.appearance_embedding == -1
+                and self.model.need_appearance_embedding):
+            self.options = self.options.replace(appearance_embedding=0)
+        self._can_reuse_results = False
+        self._guided_cache = None
+
+    def resize(self, width: int, height: int):
+        """Resize the virtual framebuffer (reference ``Impl::resize``,
+        cuda_renderer.cpp:383-458 — intrinsics rescale with the window)."""
+        cam = self.camera
+        if cam.width == width and cam.height == height:
+            return
+        wr = width / cam.width
+        hr = height / cam.height
+        cam.fx *= wr
+        cam.default_fx *= wr
+        cam.fy *= hr
+        cam.default_fy *= hr
+        if cam.default_cx != -1:
+            cam.cx *= wr
+        else:
+            cam.cx = width / 2
+        if cam.default_cy != -1:
+            cam.cy *= hr
+        else:
+            cam.cy = height / 2
+        cam.width, cam.height = width, height
+        self._can_reuse_results = False
+        self._guided_cache = None
+
+    # ------------------------------------------------------------------
+    def render(self) -> np.ndarray:
+        """Render one frame, running refinement/prune per the reference's
+        frame orchestration (cuda_renderer.cpp:68-163).  Returns [H, W, 4]
+        f32 RGBA."""
+        cam = self.camera
+        opt = self.options
+        cam._update()
+        if self.tree is None:
+            bg = opt.background_brightness
+            img = np.full((cam.height, cam.width, 4), bg, np.float32)
+            img[..., 3] = 1.0
+            self.fps.tick()
+            return img
+
+        camera_changed = cam.has_changed()
+        track_visit = ((camera_changed and int(self.tree.capacity)
+                        > self.max_tree_capacity * 3 // 4)
+                       or self._prune_happened)
+        if camera_changed:
+            self._can_reuse_results = False
+
+        if opt.use_guided_sampling and not cam.is_dragging() \
+                and self.model is not None:
+            img, res = self._render_guided(track_visit)
+        else:
+            with self.timer.time("render"):
+                img, res = render_frame(
+                    self.tree, cam.width, cam.height,
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    jnp.asarray(cam.transform), opt,
+                    track_visit=track_visit)
+        if track_visit:
+            self._visit_tracker = jnp.maximum(self._visit_tracker,
+                                              res.visited)
+
+        if opt.use_splitting and not cam.is_dragging() \
+                and self.model is not None:
+            self._expand_voxels(res)
+
+        if (self.max_tree_capacity - int(self.tree.capacity)
+                < opt.split_batch_size):
+            self._prune()
+            self._prune_happened = True
+        else:
+            self._prune_happened = False
+
+        self.fps.tick()
+        return np.asarray(img)
+
+    # ------------------------------------------------------------------
+    def _render_guided(self, track_visit: bool):
+        """Guided-sampling frame (cuda_renderer.cpp:107-139)."""
+        from .ops import guided
+        cam = self.camera
+        opt = self.options
+        if not self._can_reuse_results or self._guided_cache is None:
+            with self.timer.time("guided_sampling"):
+                cache, res = guided.collect_and_query(
+                    self.tree, self.model, cam, opt,
+                    track_visit=track_visit)
+            self._guided_cache = (cache, res)
+            self._can_reuse_results = True
+        cache, res = self._guided_cache
+        with self.timer.time("nerf_composite"):
+            img = guided.composite_frame(self.tree, cam, opt, cache)
+        return img, res
+
+    def _expand_voxels(self, res):
+        """Dynamic refinement step (cuda_renderer.cpp:205-341)."""
+        from .ops import refine
+        new_tree, added = refine.expand_voxels(
+            self.tree, self.model, self.options, res.split_vote,
+            self._visit_tracker)
+        if added == 0:
+            new_tree = refine.get_more_samples(
+                self.tree, self.model, self.options, res.sample_vote)
+        else:
+            self._can_reuse_results = False
+            self._guided_cache = None
+        self.tree = new_tree
+
+    def _prune(self):
+        """Capacity-pressure prune (cuda_renderer.cpp:343-381)."""
+        from .ops import refine
+        self.tree, self._visit_tracker = refine.prune_tree(
+            self.tree, self._visit_tracker)
+
+    # ------------------------------------------------------------------
+    def screenshot(self, path: str) -> bool:
+        """Render + save a PNG (reference save-screenshot dialog,
+        main.cpp:138-162)."""
+        img = self.render()
+        return write_png(path, np.asarray(to_rgba8(jnp.asarray(img))))
