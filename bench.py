@@ -1,0 +1,71 @@
+"""Benchmark: 1080p octree render throughput on the local accelerator.
+
+Renders a Mill-19-style synthetic shell octree (dense SH surface in an
+empty volume) at 1920x1080 with full octree traversal + SH9 evaluation,
+mirroring BASELINE config 2.  Prints ONE JSON line:
+  {"metric": "frames_per_sec_1080p", "value": N, "unit": "fps",
+   "vs_baseline": N/30}
+(vs_baseline: BASELINE.md target is >= 30 fps at 1080p.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.camera import Camera
+    from mega_nerf_viewer_tpu.options import RenderOptions
+    from mega_nerf_viewer_tpu.n3tree import shell_tree
+    from mega_nerf_viewer_tpu.ops import accel
+
+    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    width, height = 1920, 1080
+
+    t0 = time.time()
+    tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
+    build_s = time.time() - t0
+    leaf_map = accel.build_leaf_map(tree)
+
+    opt = RenderOptions()
+    cam = Camera(width, height, 1111.0)
+    cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
+    cam._update()
+
+    def frame():
+        img, overflow = accel.render_frame_fast(
+            tree, leaf_map, cam, opt, max_dense=16, chunk_size=1 << 15,
+            block=64)
+        return np.asarray(img), bool(overflow)
+
+    # warmup / compile
+    img, overflow = frame()
+    assert not overflow, "dense-sample cap overflow; raise max_dense"
+    alpha = float(img[..., 3].max())
+
+    n_frames = 5
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img, _ = frame()
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    rays_per_sec = fps * width * height
+
+    print(json.dumps({
+        "metric": "frames_per_sec_1080p",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} "
+          f"chunks={int(tree.capacity)} depth={depth} "
+          f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "
+          f"alpha_max={alpha:.3f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,93 @@ def sphere_tree(basis_dim: int = 1, depth: int = 3,
                               max_capacity=max_capacity)
 
 
+def shell_tree(depth: int = 7, basis_dim: int = 9,
+               max_capacity: Optional[int] = None,
+               radius: float = 0.35, sigma_inside: float = 40.0,
+               seed: int = 0, N: int = 2,
+               max_chunks: int = 8_000_000) -> N3Tree:
+    """Large benchmark tree: fully-vectorized level-wise subdivision
+    around a sphere shell (Mill-19-style occupancy: a thin dense surface
+    inside a big empty volume).  Scales to millions of chunks — the
+    recursive :func:`build_host_tree` is for tiny test fixtures only.
+    """
+    rng = np.random.RandomState(seed)
+    N3 = N ** 3
+    data_dim = 3 * basis_dim + 1
+
+    slot = np.arange(N3)
+    slot_off = np.stack([slot // (N * N), (slot // N) % N, slot % N],
+                        axis=-1).astype(np.float64)          # [N3, 3]
+
+    parent_rows = [np.zeros(1, np.int32)]
+    corner_rows = [np.zeros((1, 3), np.float64)]
+    links = []                                        # (parents, slots, offs)
+    frontier = np.array([0], np.int64)                # chunk ids at level
+    frontier_corner = np.zeros((1, 3), np.float64)
+    n_chunks = 1
+
+    for d in range(1, depth):
+        size = float(N) ** (-d)
+        # voxel centers of all frontier slots: [F, N3, 3]
+        centers = (frontier_corner[:, None, :]
+                   + (slot_off[None, :, :] + 0.5) * size)
+        r = np.linalg.norm(centers - 0.5, axis=-1)
+        split = np.abs(r - radius) < 0.9 * size       # near the shell
+        f_idx, s_idx = np.nonzero(split)
+        n_new = len(f_idx)
+        if n_new == 0:
+            break
+        if n_chunks + n_new > max_chunks:
+            keep = max_chunks - n_chunks
+            f_idx, s_idx = f_idx[:keep], s_idx[:keep]
+            n_new = keep
+        new_ids = n_chunks + np.arange(n_new)
+        parents = frontier[f_idx]
+        parent_rows.append((parents * N3 + s_idx).astype(np.int32))
+        new_corners = frontier_corner[f_idx] + slot_off[s_idx] * size
+        corner_rows.append(new_corners)
+        links.append((parents, s_idx, (new_ids - parents).astype(np.int32)))
+        n_chunks += n_new
+        frontier = new_ids
+        frontier_corner = new_corners
+        if n_chunks >= max_chunks:
+            break
+
+    child = np.zeros((n_chunks, N3), np.int32)
+    parent = np.concatenate(parent_rows, axis=0)
+    corners = np.concatenate(corner_rows, axis=0)
+    for parents, s_idx, offsets in links:
+        child[parents, s_idx] = offsets
+
+    # depth of each chunk (levels of its leaves): root leaves at depth 1
+    depths = np.zeros(n_chunks, np.int32)
+    start = 1
+    for lvl, (parents, _, _) in enumerate(links, start=1):
+        depths[start:start + len(parents)] = lvl
+        start += len(parents)
+
+    # data: empty outside, dense sigma near/inside the shell
+    sizes = (float(N) ** -(depths + 1))[:, None]
+    centers = corners[:, None, :] + (slot_off[None, :, :] + 0.5) * sizes[:, :, None]
+    r = np.linalg.norm(centers - 0.5, axis=-1)        # [C, N3]
+    inside = r < radius + sizes
+    data = np.zeros((n_chunks, N3, data_dim), np.float16)
+    data[..., -1] = np.where(inside, sigma_inside, 0.0).astype(np.float16)
+    coeff = (0.3 * np.sin(7.0 * centers.sum(-1)))[..., None]
+    for c in range(3):
+        data[..., c * basis_dim] = (np.sin(5.0 * centers[..., c] + c)
+                                    * inside).astype(np.float16)
+        if basis_dim > 1:
+            data[..., c * basis_dim + 1: (c + 1) * basis_dim] = (
+                coeff * inside[..., None]).astype(np.float16)
+
+    fmt = DataFormat(format="SH", basis_dim=basis_dim)
+    return N3Tree.from_arrays(
+        data, child, parent,
+        np.full(3, 0.5, np.float32), np.full(3, 0.5, np.float32), fmt,
+        max_capacity=max_capacity)
+
+
 def random_tree(n_chunks: int = 64, basis_dim: int = 4,
                 max_capacity: Optional[int] = None,
                 seed: int = 0, density: float = 3.0, N: int = 2) -> N3Tree:

@@ -1,0 +1,416 @@
+"""Dense leaf-map acceleration structure + fast march.
+
+TPU-native replacement for the per-step octree pointer chase.  The
+reference descends from the root for EVERY sample of EVERY ray
+(``query_single_from_root``, rt_core.cuh:117-159) — ~depth dependent
+int loads per step, which a GPU hides with massive thread-level
+parallelism.  TPU gathers cost ~7-13 ns/element with no locality
+benefit (measured on v5e), so the fast path restructures the work:
+
+  * ``LeafMap`` — a dense grid at octree level ``L`` mapping every cell
+    to its covering leaf: packed ``(node_id, meta)`` i32 pairs where
+    ``meta`` carries the leaf depth, an is-internal flag, a clamped
+    sample count, and the leaf's sigma as raw f16 bits.  One [R, 2]
+    row gather replaces the whole descent AND the sigma load.  Cells
+    whose subtree is deeper than ``L`` store the level-``L`` chunk and
+    the march finishes the descent with (max_depth - L) bounded gather
+    levels — zero when the map covers the full tree.
+  * **Deferred shading** — the march only accumulates (node, weight)
+    pairs for sigma-passing samples (early-termination keeps these
+    few); SH coefficient rows are gathered once per frame in a single
+    batched pass instead of per step.
+  * **Ray-tile chunking** — ``lax.map`` over spatially coherent pixel
+    blocks so a tile's march loop stops when ITS rays finish, not when
+    the worst ray of the whole frame does.
+
+Exactness: for N == 2 the leaf found, its depth, the in-leaf fractional
+position (binary digit peel == frac(pos * 2^depth), exact in fp32) and
+sigma (same f16 bits) are identical to the reference descent, so step
+positions, weights and early termination match the exact renderer
+bit-for-bit.  The fast path does not produce split/sample votes or
+visit marks — the Viewer uses the exact path on refinement frames
+(votes need the sparse-branch bookkeeping of rt_core.cuh:308-320).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..options import RenderOptions
+from ..n3tree.tree import N3Tree
+from .sh import masked_sh_basis
+from .rays import screen2worlddir, rodrigues
+from .render import _dda_world_batch, _dda_unit_batch
+
+# meta layout (i32): bits 0-4 depth, bit 5 internal, bits 6-15 clamped
+# sample count, bits 16-31 sigma as raw float16 bits.
+_DEPTH_BITS = 31
+_INTERNAL_BIT = 1 << 5
+_COUNT_SHIFT = 6
+_COUNT_MAX = 1023
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LeafMap:
+    rows: jax.Array  # i32 [G^3, 2] = (node, meta)
+    level: int = dataclasses.field(metadata=dict(static=True), default=6)
+    deep_levels: int = dataclasses.field(metadata=dict(static=True),
+                                         default=0)
+
+    @property
+    def grid(self) -> int:
+        return 1 << self.level
+
+
+def _f16_bits_to_f32(bits: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+
+def tree_max_depth(tree: N3Tree) -> int:
+    """Max leaf depth of the live tree (host-side, build time only)."""
+    cap = int(tree.capacity)
+    parent = np.asarray(tree.parent[:cap]) // tree.N3
+    depth = np.zeros(cap, np.int64)
+    # pointer jumping: parents may appear in any order post-prune
+    cur = parent.copy()
+    d = np.ones(cap, np.int64)
+    for _ in range(64):
+        at_root = cur == 0
+        if at_root.all():
+            break
+        d = d + (~at_root)
+        cur = parent[cur]
+    return int(d.max()) + 1  # chunks at depth d hold leaves at depth d+1?
+
+
+@functools.partial(jax.jit, static_argnames=("level", "deep_levels"))
+def _build_rows(tree: N3Tree, level: int, deep_levels: int) -> jax.Array:
+    """Descend once per grid cell (batched) and pack (node, meta) rows."""
+    G = 1 << level
+    N, N3 = tree.N, tree.N3
+    child_flat = tree.child.reshape(-1)
+    # cell centers in tree coords
+    ax = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G
+    pos = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+
+    def descend(xyz):
+        R = xyz.shape[0]
+        chunk = jnp.zeros((R,), jnp.int32)
+        cidx = jnp.zeros((R,), jnp.int32)
+        depth = jnp.ones((R,), jnp.int32)
+        done = jnp.zeros((R,), bool)
+
+        def body(l, c):
+            xyz, chunk, cidx, depth, done = c
+            upd = ~done
+            u = xyz * N
+            digits = jnp.floor(u)
+            idx = (digits[:, 0] * (N * N) + digits[:, 1] * N
+                   + digits[:, 2]).astype(jnp.int32)
+            skip = jnp.take(child_flat, chunk * N3 + idx, mode="clip")
+            leaf = skip == 0
+            xyz = jnp.where(upd[:, None], u - digits, xyz)
+            cidx = jnp.where(upd, idx, cidx)
+            chunk = jnp.where(upd & ~leaf, chunk + skip, chunk)
+            depth = jnp.where(upd & ~leaf, depth + 1, depth)
+            done = done | leaf
+            return (xyz, chunk, cidx, depth, done)
+
+        c = jax.lax.fori_loop(
+            0, level, body,
+            (jnp.clip(xyz, 0.0, jnp.float32(1.0 - 1e-6)),
+             chunk, cidx, depth, done))
+        return c[1], c[2], c[3], c[4]
+
+    chunk, cidx, depth, done = descend(pos)
+    node = chunk * N3 + cidx
+    sigma = jnp.take(tree.data.reshape(-1, tree.data_dim)[:, -1],
+                     node, mode="clip")
+    counts = jnp.clip(
+        jnp.take(tree.sample_counts.reshape(-1), node,
+                 mode="clip").astype(jnp.int32), 0, _COUNT_MAX)
+    sigma_bits = jax.lax.bitcast_convert_type(
+        sigma, jnp.uint16).astype(jnp.int32)
+    internal = (~done).astype(jnp.int32)
+    meta = (jnp.clip(depth, 0, _DEPTH_BITS)
+            | (internal << 5)
+            | (counts << _COUNT_SHIFT)
+            | (sigma_bits << 16))
+    # internal cells: node = chunk reached at level L (descent resumes)
+    node = jnp.where(done, node, chunk)
+    return jnp.stack([node, meta], axis=-1)
+
+
+def build_leaf_map(tree: N3Tree, level: Optional[int] = None) -> LeafMap:
+    """Build the dense leaf map.  Rebuild after refinement/prune
+    (cheap: one batched descent over G^3 cells)."""
+    max_d = tree_max_depth(tree)
+    if level is None:
+        level = min(max_d, 8)
+    deep = max(0, max_d - level)
+    rows = _build_rows(tree, level, deep)
+    return LeafMap(rows=rows, level=level, deep_levels=deep)
+
+
+class FastRenderResult(NamedTuple):
+    out: jax.Array        # [R, 4] rgba pre-background
+    overflow: jax.Array   # [] bool: some ray exceeded max_dense samples
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "max_dense", "chunk_size"))
+def render_rays_fast(tree: N3Tree,
+                     leaf_map: LeafMap,
+                     dirs: jax.Array,
+                     vdirs: jax.Array,
+                     cen_world: jax.Array,
+                     opt: RenderOptions,
+                     tmax_bg: Optional[jax.Array] = None,
+                     max_dense: int = 64,
+                     chunk_size: int = 0) -> FastRenderResult:
+    """Fast march: leaf-map lookup + deferred SH shading.
+
+    Same output as :func:`render_rays` (bit-exact for N == 2 trees; see
+    module docstring), no votes / visit marks.
+    """
+    N, N3 = tree.N, tree.N3
+    R = dirs.shape[0]
+    data_dim = tree.data_dim
+    basis_dim = tree.data_format.basis_dim
+    use_sh = tree.data_format.format == "SH" and basis_dim >= 1
+    G = leaf_map.grid
+    rows_flat = leaf_map.rows
+    child_flat = tree.child.reshape(-1)
+    sigma_flat = tree.data.reshape(-1, data_dim)[:, data_dim - 1]
+
+    cen = tree.offset + tree.scale * cen_world
+    d = dirs * tree.scale[None, :]
+    delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
+    d = d * delta_scale[:, None]
+    if tmax_bg is None:
+        tmax_bg = jnp.full((R,), 1e9, jnp.float32)
+    tmax_bg = tmax_bg / delta_scale
+    invdir = 1.0 / (d + jnp.float32(1e-9))
+    tmin, tmax = _dda_world_batch(cen, invdir, opt.render_bbox)
+    tmax = jnp.minimum(tmax, tmax_bg)
+    miss = (tmax < 0) | (tmin > tmax)
+
+    if use_sh and not opt.render_depth:
+        basis_all = masked_sh_basis(basis_dim, vdirs,
+                                    opt.basis_minmax[0],
+                                    opt.basis_minmax[1])
+    else:
+        basis_all = jnp.zeros((R, 1), jnp.float32)
+
+    data_flat = tree.data.reshape(-1, data_dim)
+
+    def march_chunk(args):
+        (cen_c, d_c, invdir_c, ds_c, tmin_c, tmax_c, miss_c,
+         basis_c) = args
+        r = d_c.shape[0]
+        # dense-sample record buffers, written via one-hot masked selects
+        # (dynamic scatter is pathologically slow on TPU; a [r, S]
+        # compare+select is pure VPU work and fuses into the loop body)
+        nodes_buf = jnp.zeros((r, max_dense), jnp.int32)
+        w_buf = jnp.zeros((r, max_dense), jnp.float32)
+        t_buf = jnp.zeros((r, max_dense), jnp.float32)
+        srange = jnp.arange(max_dense, dtype=jnp.int32)
+        nd = jnp.zeros((r,), jnp.int32)
+        t = tmin_c
+        T = jnp.ones((r,), jnp.float32)
+        stopped = jnp.zeros((r,), bool)
+        overflow = jnp.zeros((r,), bool)
+        active = ~miss_c & (t < tmax_c)
+        ridx = jnp.arange(r, dtype=jnp.int32)
+
+        def cond(c):
+            return jnp.any(c[-1])
+
+        def body(c):
+            (t, T, nodes_buf, w_buf, t_buf, nd, stopped, overflow,
+             active) = c
+            pos = cen_c + t[:, None] * d_c
+            posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
+            cell = jnp.floor(posc * G).astype(jnp.int32)
+            lin = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+            row = jnp.take(rows_flat, lin, axis=0, mode="clip")  # [r, 2]
+            node = row[:, 0]
+            meta = row[:, 1]
+            depth = meta & _DEPTH_BITS
+            sigma = _f16_bits_to_f32((meta >> 16) & 0xFFFF)
+            if leaf_map.deep_levels > 0:
+                internal = (meta & _INTERNAL_BIT) != 0
+                # resume descent from the stored level-L chunk
+                u = posc * (1 << leaf_map.level)
+                fxyz = u - jnp.floor(u)
+                chunk = node
+                cidx = jnp.zeros_like(node)
+                ddepth = depth
+                done = ~internal
+                for _ in range(leaf_map.deep_levels + 1):
+                    upd = ~done
+                    u2 = fxyz * N
+                    digs = jnp.floor(u2)
+                    idx2 = (digs[:, 0] * (N * N) + digs[:, 1] * N
+                            + digs[:, 2]).astype(jnp.int32)
+                    skip = jnp.take(child_flat, chunk * N3 + idx2,
+                                    mode="clip")
+                    leaf = skip == 0
+                    fxyz = jnp.where(upd[:, None], u2 - digs, fxyz)
+                    cidx = jnp.where(upd, idx2, cidx)
+                    chunk = jnp.where(upd & ~leaf, chunk + skip, chunk)
+                    ddepth = jnp.where(upd & ~leaf, ddepth + 1, ddepth)
+                    done = done | leaf
+                node_deep = chunk * N3 + cidx
+                node = jnp.where(internal, node_deep, node)
+                depth = jnp.where(internal, ddepth, depth)
+                sigma_deep = jnp.take(sigma_flat, node_deep,
+                                      mode="clip").astype(jnp.float32)
+                sigma = jnp.where(internal, sigma_deep, sigma)
+
+            cube = jnp.exp2(depth.astype(jnp.float32)) if N == 2 else \
+                jnp.power(jnp.float32(N), depth.astype(jnp.float32))
+            u = posc * cube[:, None]
+            frac = u - jnp.floor(u)
+            t_subcube = _dda_unit_batch(frac, invdir_c) / cube
+            delta_t = t_subcube + jnp.float32(opt.step_size)
+            dense = active & (sigma > opt.sigma_thresh)
+            att = jnp.exp(-delta_t * ds_c * sigma)
+            weight = T * (1.0 - att)
+
+            can_rec = dense & (nd < max_dense)
+            overflow = overflow | (dense & (nd >= max_dense))
+            m = can_rec[:, None] & (nd[:, None] == srange[None, :])
+            if not opt.render_depth:
+                nodes_buf = jnp.where(m, node[:, None], nodes_buf)
+            w_buf = jnp.where(m, weight[:, None], w_buf)
+            if opt.render_depth:
+                t_buf = jnp.where(m, t[:, None], t_buf)
+            nd = jnp.where(can_rec, nd + 1, nd)
+
+            T = jnp.where(dense, T * att, T)
+            stop_now = dense & (T < opt.stop_thresh)
+            stopped = stopped | stop_now
+            t = jnp.where(active, t + delta_t, t)
+            active = active & ~stop_now & (t < tmax_c)
+            return (t, T, nodes_buf, w_buf, t_buf, nd, stopped,
+                    overflow, active)
+
+        c = jax.lax.while_loop(
+            cond, body,
+            (t, T, nodes_buf, w_buf, t_buf, nd, stopped, overflow,
+             active))
+        (t, T, nodes_buf, w_buf, t_buf, nd, stopped, overflow, _) = c
+
+        # ---- deferred shading (inside the chunk so the gathered
+        # coefficient block stays small: [r, max_dense, D]) ----
+        slots = jnp.arange(max_dense)
+        valid = slots[None, :] < nd[:, None]
+        if opt.render_depth:
+            d0 = jnp.sum(jnp.where(valid, w_buf * t_buf, 0.0), axis=1)
+            d0 = jnp.minimum(d0 * 0.3, 1.0)
+            rgb = jnp.where(miss_c[:, None], 0.0,
+                            jnp.broadcast_to(d0[:, None], (r, 3)))
+            scale = jnp.where(stopped, 1.0 / (1.0 - T), 1.0)
+            rgb = rgb * scale[:, None]
+            out = jnp.concatenate(
+                [rgb, jnp.ones((r, 1), jnp.float32)], axis=1)
+        else:
+            leaf = jnp.take(data_flat, nodes_buf.reshape(-1), axis=0,
+                            mode="clip").astype(jnp.float32)
+            leaf = leaf.reshape(r, max_dense, data_dim)
+            if use_sh:
+                coeffs = leaf[..., :3 * basis_dim].reshape(
+                    r, max_dense, 3, basis_dim)
+                logits = jnp.einsum("rb,rscb->rsc", basis_c, coeffs)
+                rgb_s = jax.nn.sigmoid(logits)
+            else:
+                rgb_s = leaf[..., :3]
+            rgb = jnp.sum(
+                jnp.where(valid[..., None],
+                          w_buf[..., None] * rgb_s, 0.0), axis=1)
+            scale = jnp.where(stopped, 1.0 / (1.0 - T), 1.0)
+            rgb = rgb * scale[:, None]
+            alpha = jnp.where(stopped, 1.0,
+                              jnp.where(miss_c, 0.0, 1.0 - T))
+            out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
+        return out, jnp.any(overflow)
+
+    all_args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
+                tmin, tmax, miss, basis_all)
+    if chunk_size and R % chunk_size == 0 and R > chunk_size:
+        n_chunks = R // chunk_size
+
+        def reshape(a):
+            return a.reshape((n_chunks, chunk_size) + a.shape[1:])
+
+        out, overflow = jax.lax.map(march_chunk, tuple(map(reshape,
+                                                           all_args)))
+        out = out.reshape(R, 4)
+        overflow = jnp.any(overflow)
+    else:
+        out, overflow = march_chunk(all_args)
+
+    return FastRenderResult(out, overflow)
+
+
+def block_permutation(width: int, height: int, block: int = 16):
+    """Pixel permutation grouping rays into spatially coherent 2-D
+    blocks (the fast path's tiles), plus its inverse.  Rays within a
+    block traverse similar content so a tile's march terminates
+    together — the TPU analogue of CUDA thread-block coherence."""
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width),
+                         indexing="ij")
+    by = ys // block
+    bx = xs // block
+    nbx = (width + block - 1) // block
+    key = ((by * nbx + bx) * (block * block)
+           + (ys % block) * block + (xs % block))
+    perm = np.argsort(key.reshape(-1), kind="stable")
+    inv = np.argsort(perm, kind="stable")
+    return jnp.asarray(perm, jnp.int32), jnp.asarray(inv, jnp.int32)
+
+
+def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
+                      camera, opt: RenderOptions,
+                      max_dense: int = 64,
+                      chunk_size: int = 65536,
+                      block: int = 128):
+    """Full fast frame: blocked ray order -> fast march -> composite.
+    Returns ([H, W, 4] f32, overflow bool)."""
+    from .render import composite_background
+    w, h = camera.width, camera.height
+    dirs, cen = screen2worlddir(w, h, camera.fx, camera.fy,
+                                camera.cx, camera.cy,
+                                jnp.asarray(camera.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    R = w * h
+    if chunk_size and R > chunk_size:
+        perm, inv = block_permutation(w, h, block)
+        dirs_p = jnp.take(dirs, perm, axis=0)
+        vdirs_p = jnp.take(vdirs, perm, axis=0)
+        pad = (-R) % chunk_size
+        if pad:
+            dirs_p = jnp.concatenate(
+                [dirs_p, jnp.tile(dirs_p[-1:], (pad, 1))], axis=0)
+            vdirs_p = jnp.concatenate(
+                [vdirs_p, jnp.tile(vdirs_p[-1:], (pad, 1))], axis=0)
+        res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
+                               max_dense=max_dense, chunk_size=chunk_size)
+        out = jnp.take(res.out[:R], inv, axis=0)
+    else:
+        res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
+                               max_dense=max_dense, chunk_size=0)
+        out = res.out
+    img = composite_background(out, opt)
+    return img.reshape(h, w, 4), res.overflow

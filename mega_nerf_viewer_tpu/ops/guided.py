@@ -1,0 +1,295 @@
+"""Guided ray sampling: octree-guided sample placement + MLP compositing.
+
+TPU-native re-design of the reference's guided-sampling mode (R key):
+
+  * ``collect_samples`` — the traversal-only march that records up to
+    ``max_guided_samples`` per ray: ``[z, x, y, z_world, (viewdir),
+    (appearance)]`` plus a per-sample spatial-cluster id
+    (reference ``get_samples_trace_ray`` rt_core.cuh:418-576,
+    ``get_samples_from_voxels_kernel`` renderer_kernel.cu:329-363).
+  * ``composite_results`` — integrates MLP outputs along each ray:
+    ``delta_i = z[i+1]-z[i]``, ``w = T*(1-exp(-sigma*delta))`` with the
+    last sample taking all remaining transmittance, SH eval with viewdir,
+    sigmoid (reference ``composite_nerf_results`` rt_core.cuh:334-416).
+
+Unlike the reference's compacted sample buffer + per-ray offsets
+(cuda_renderer.cpp:116-139), samples stay in a padded ``[R, S, ...]``
+layout with a per-ray count — static shapes for XLA, and the compositor
+becomes a masked scan over the sample axis.  The MLP query itself runs on
+the compacted valid set (sorted by cluster) exactly like
+``query_submodules``.
+
+Faithfulness notes:
+  * The reference composites density from ``sample_values[i][3]``
+    (rt_core.cuh:365) — hardcoded for the ``data_dim==4`` (SH1 / RGB)
+    Mega-NeRF output layout.  We index ``min(3, out_dim-1)`` which is
+    identical for that layout and defined for others.
+  * ``out[3] = 1`` before compositing (renderer_kernel.cu:316): guided
+    frames have alpha 1 everywhere; rays with no samples come out black.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..options import RenderOptions
+from ..n3tree.tree import N3Tree
+from .sh import masked_sh_basis
+from .rays import screen2worlddir, rodrigues
+from .render import DEFAULT_MAX_LEVELS, _descend, _dda_world_batch, \
+    _dda_unit_batch
+
+
+class GuidedSamples(NamedTuple):
+    samples: jax.Array       # [R, S, 1+dim] f32: z, xyz, (vdir), (app)
+    cluster_ids: jax.Array   # [R, S] i32
+    num_samples: jax.Array   # [R] i32
+    split_vote: jax.Array    # [R, 3]
+    sample_vote: jax.Array   # [R, 3]
+    visited: jax.Array       # [max_capacity] i32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "track_visit", "max_levels"))
+def collect_samples(tree: N3Tree,
+                    dirs: jax.Array, vdirs: jax.Array,
+                    cen_world: jax.Array,
+                    grid_dim: jax.Array,       # i32 [2]
+                    min_position: jax.Array,   # f32 [3]
+                    pos_range: jax.Array,      # f32 [3] (max - min)
+                    opt: RenderOptions,
+                    tmax_bg=None,
+                    track_visit: bool = False,
+                    max_levels: int = DEFAULT_MAX_LEVELS) -> GuidedSamples:
+    """Traversal-only march recording per-ray guided samples."""
+    N, N3 = tree.N, tree.N3
+    R = dirs.shape[0]
+    S = opt.max_guided_samples
+    dim = opt.sample_dim
+    data_dim = tree.data_dim
+
+    child_flat = tree.child.reshape(-1)
+    data_flat = tree.data.reshape(-1, data_dim)
+    counts_flat = tree.sample_counts.reshape(-1)
+
+    cen = tree.offset + tree.scale * cen_world           # rt_core.cuh:446-448
+    d = dirs * tree.scale[None, :]
+    delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
+    d = d * delta_scale[:, None]
+    if tmax_bg is None:
+        tmax_bg = jnp.full((R,), 1e9, jnp.float32)
+    tmax_bg = tmax_bg / delta_scale
+    invdir = 1.0 / (d + jnp.float32(1e-9))
+    tmin, tmax = _dda_world_batch(cen, invdir, opt.render_bbox)
+    tmax = jnp.minimum(tmax, tmax_bg)
+    miss = (tmax < 0) | (tmin > tmax)
+
+    samples = jnp.full((R, S, 1 + dim), -1.0, jnp.float32)
+    cluster_ids = jnp.zeros((R, S), jnp.int32)
+    ns = jnp.zeros((R,), jnp.int32)
+    split_vote = jnp.concatenate(
+        [jnp.full((R, 1), opt.max_depth + 1, jnp.float32),
+         jnp.full((R, 2), -1.0, jnp.float32)], axis=1)
+    sample_vote = jnp.concatenate(
+        [jnp.full((R, 1), opt.max_sample_count + 1, jnp.float32),
+         jnp.full((R, 2), -1.0, jnp.float32)], axis=1)
+    visited = jnp.zeros((tree.max_capacity,), jnp.int32)
+    if track_visit:
+        visited = visited.at[0].set(1)
+
+    t = tmin
+    T = jnp.ones((R,), jnp.float32)
+    max_w = jnp.full((R,), -1.0, jnp.float32)
+    max_sw = jnp.full((R,), -1.0, jnp.float32)
+    active = ~miss & (t < tmax)
+    ray_idx = jnp.arange(R, dtype=jnp.int32)
+
+    def cond(c):
+        return jnp.any(c[-1])
+
+    def body(c):
+        (t, T, samples, cluster_ids, ns, split_vote, sample_vote,
+         max_w, max_sw, visited, active) = c
+        pos = cen[None, :] + t[:, None] * d
+        frac, chunk, cidx, depth, visited = _descend(
+            child_flat, pos, N, max_levels, visited, track_visit)
+        node = chunk * N3 + cidx
+        cube_size = jnp.power(jnp.float32(N), depth.astype(jnp.float32))
+        t_subcube = _dda_unit_batch(frac, invdir) / cube_size
+        delta_t = t_subcube + jnp.float32(opt.step_size)
+        sigma = jnp.take(data_flat[:, data_dim - 1], node,
+                         mode="clip").astype(jnp.float32)
+        dense = sigma > opt.sigma_thresh
+
+        att = jnp.exp(-delta_t * delta_scale * sigma)
+        weight = T * (1.0 - att)
+
+        # votes (same logic as the shading march, rt_core.cuh:497-512/558-570)
+        can_split = depth < opt.max_depth
+        sc = jnp.take(counts_flat, node, mode="clip").astype(jnp.int32)
+        can_sample = sc < opt.max_sample_count
+        vote_cols_split = jnp.stack(
+            [depth.astype(jnp.float32), chunk.astype(jnp.float32),
+             cidx.astype(jnp.float32)], axis=-1)
+        vote_cols_sample = jnp.stack(
+            [sc.astype(jnp.float32), chunk.astype(jnp.float32),
+             cidx.astype(jnp.float32)], axis=-1)
+        vs = active & can_split & jnp.where(
+            dense, weight > max_w, max_w == -1.0)
+        vp = active & can_sample & jnp.where(
+            dense, weight > max_sw, max_sw == -1.0)
+        split_vote = jnp.where(vs[:, None], vote_cols_split, split_vote)
+        sample_vote = jnp.where(vp[:, None], vote_cols_sample, sample_vote)
+        max_w = jnp.where(active & dense & can_split & (weight > max_w),
+                          weight, max_w)
+        max_sw = jnp.where(active & dense & can_sample & (weight > max_sw),
+                           weight, max_sw)
+
+        # record sample (rt_core.cuh:514-551)
+        record = active & dense & (ns < S)
+        true_z_vec = (t[:, None] * d) / tree.scale[None, :]
+        z = jnp.linalg.norm(true_z_vec, axis=-1)
+        pos_world = cen_world[None, :] + dirs * z[:, None]
+        cols = [z[:, None], pos_world]
+        if opt.need_viewdir:
+            cols.append(vdirs)
+        if opt.appearance_embedding != -1:
+            cols.append(jnp.full((R, 1), opt.appearance_embedding,
+                                 jnp.float32))
+        row = jnp.concatenate(cols, axis=-1)              # [R, 1+dim]
+        slot = jnp.where(record, ns, S)                    # S -> dropped
+        samples = samples.at[ray_idx, slot].set(row, mode="drop")
+        g1 = jnp.clip((pos_world[:, 1] - min_position[1]) / pos_range[1]
+                      * grid_dim[0].astype(jnp.float32),
+                      0.0, grid_dim[0].astype(jnp.float32) - 1.0)
+        g2 = jnp.clip((pos_world[:, 2] - min_position[2]) / pos_range[2]
+                      * grid_dim[1].astype(jnp.float32),
+                      0.0, grid_dim[1].astype(jnp.float32) - 1.0)
+        cid = g1.astype(jnp.int32) * grid_dim[1] + g2.astype(jnp.int32)
+        cluster_ids = cluster_ids.at[ray_idx, slot].set(cid, mode="drop")
+        ns = jnp.where(record, ns + 1, ns)
+
+        T = jnp.where(active & dense, T * att, T)
+        stop_now = active & dense & (T < opt.stop_thresh)
+        t = jnp.where(active, t + delta_t, t)
+        active = active & ~stop_now & (t < tmax)
+        return (t, T, samples, cluster_ids, ns, split_vote, sample_vote,
+                max_w, max_sw, visited, active)
+
+    c = jax.lax.while_loop(
+        cond, body,
+        (t, T, samples, cluster_ids, ns, split_vote, sample_vote,
+         max_w, max_sw, visited, active))
+    (t, T, samples, cluster_ids, ns, split_vote, sample_vote,
+     _, _, visited, _) = c
+    return GuidedSamples(samples, cluster_ids, ns, split_vote,
+                         sample_vote, visited)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "basis_dim", "fmt_sh"))
+def composite_results(results: jax.Array,      # [R, S, out_dim]
+                      z_vals: jax.Array,        # [R, S]
+                      num_samples: jax.Array,   # [R]
+                      vdirs: jax.Array,         # [R, 3]
+                      opt: RenderOptions,
+                      basis_dim: int,
+                      fmt_sh: bool) -> jax.Array:
+    """Integrate MLP outputs along rays (rt_core.cuh:334-416).
+
+    Returns [R, 4] rgba with alpha == 1 (renderer_kernel.cu:316).
+    """
+    R, S, out_dim = results.shape
+    sigma_idx = min(3, out_dim - 1)               # rt_core.cuh:365 hardcodes 3
+    slots = jnp.arange(S)
+    valid = slots[None, :] < num_samples[:, None]            # [R, S]
+    is_last = slots[None, :] == (num_samples[:, None] - 1)
+
+    delta = jnp.concatenate(
+        [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros((R, 1), jnp.float32)],
+        axis=1)
+    sigma = results[..., sigma_idx]
+    wc = jnp.exp(-sigma * delta)                              # [R, S]
+    # T_i = prod_{j<i} wc_j over valid non-last slots
+    wc_eff = jnp.where(valid & ~is_last, wc, 1.0)
+    T = jnp.concatenate(
+        [jnp.ones((R, 1), jnp.float32),
+         jnp.cumprod(wc_eff, axis=1)[:, :-1]], axis=1)
+    weight = jnp.where(is_last & valid, T,
+                       jnp.where(valid, T * (1.0 - wc), 0.0))
+
+    if opt.render_depth:
+        # reference accumulates weight * T (rt_core.cuh:372)
+        d0 = jnp.sum(weight * T, axis=1)
+        rgb = jnp.minimum(d0 * 0.3, 1.0)[:, None].repeat(3, axis=1)
+    elif fmt_sh and basis_dim >= 1:
+        basis = masked_sh_basis(basis_dim, vdirs,
+                                opt.basis_minmax[0],
+                                opt.basis_minmax[1])          # [R, B]
+        coeffs = results[..., :3 * basis_dim].reshape(R, S, 3, basis_dim)
+        logits = jnp.einsum("rb,rscb->rsc", basis, coeffs)
+        rgb_s = jax.nn.sigmoid(logits)                        # [R, S, 3]
+        rgb = jnp.sum(weight[..., None] * rgb_s, axis=1)
+    else:
+        rgb = jnp.sum(weight[..., None] * results[..., :3], axis=1)
+    return jnp.concatenate([rgb, jnp.ones((R, 1), jnp.float32)], axis=1)
+
+
+# ----------------------------------------------------------------------
+# Host orchestration used by the Viewer
+# ----------------------------------------------------------------------
+def collect_and_query(tree: N3Tree, model, camera, opt: RenderOptions,
+                      track_visit: bool = False):
+    """Collect guided samples and run the MLP over the valid set
+    (reference frame path cuda_renderer.cpp:107-134)."""
+    dirs, cen = screen2worlddir(
+        camera.width, camera.height, camera.fx, camera.fy,
+        camera.cx, camera.cy, jnp.asarray(camera.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    col = collect_samples(
+        tree, dirs, vdirs, cen,
+        jnp.asarray(model.grid_dim, jnp.int32),
+        jnp.asarray(model.min_position, jnp.float32),
+        jnp.asarray(model.range, jnp.float32),
+        opt, track_visit=track_visit)
+    ns = np.asarray(col.num_samples)
+    samples = np.asarray(col.samples)
+    ids = np.asarray(col.cluster_ids)
+    R, S = ids.shape
+    valid = np.arange(S)[None, :] < ns[:, None]
+    flat_idx = np.nonzero(valid.reshape(-1))[0]
+    flat_samples = samples.reshape(R * S, -1)[flat_idx]
+    flat_ids = ids.reshape(-1)[flat_idx]
+    res = model.query(flat_ids, flat_samples[:, 1:],
+                      opt.nerf_batch_size, 32)
+    out_dim = model.output_dim
+    padded = np.zeros((R * S, out_dim), np.float32)
+    padded[flat_idx] = np.asarray(res)
+    cache = dict(
+        results=jnp.asarray(padded.reshape(R, S, out_dim)),
+        z_vals=jnp.asarray(samples[..., 0]),
+        num_samples=jnp.asarray(ns),
+    )
+    from .render import RenderResult
+    rres = RenderResult(jnp.zeros((R, 4), jnp.float32), col.split_vote,
+                        col.sample_vote, col.visited)
+    return cache, rres
+
+
+def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache):
+    """Per-frame composite of cached MLP results
+    (reference render_nerf_results, renderer_kernel.cu:294-327)."""
+    dirs, cen = screen2worlddir(
+        camera.width, camera.height, camera.fx, camera.fy,
+        camera.cx, camera.cy, jnp.asarray(camera.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    out = composite_results(
+        cache["results"], cache["z_vals"], cache["num_samples"], vdirs,
+        opt, tree.data_format.basis_dim,
+        tree.data_format.format == "SH")
+    return out.reshape(camera.height, camera.width, 4)

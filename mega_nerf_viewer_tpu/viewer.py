@@ -50,6 +50,14 @@ class Viewer:
         self._prune_happened = False
         self._can_reuse_results = False
         self._guided_cache = None
+        # leaf-map accelerated static-view path (ops/accel.py)
+        self.use_fast_path = True
+        self.fast_max_dense = 32
+        self.fast_chunk_size = 1 << 15
+        self._leaf_map = None
+        # torch::manual_seed(42) analogue (main.cpp:522)
+        import jax
+        self._rng_key = jax.random.PRNGKey(42)
         if tree is not None:
             self.set(tree, max_tree_capacity)
 
@@ -72,6 +80,7 @@ class Viewer:
                 sample_counts=np.asarray(tree.sample_counts)[:cap],
                 max_capacity=self.max_tree_capacity)
         self.tree = tree
+        self._leaf_map = None
         self._visit_tracker = jnp.zeros(
             (tree.max_capacity,), jnp.int32).at[0].set(1)
         basis_dim = tree.data_format.basis_dim
@@ -142,9 +151,16 @@ class Viewer:
         if camera_changed:
             self._can_reuse_results = False
 
+        needs_votes = (opt.use_splitting and not cam.is_dragging()
+                       and self.model is not None)
+        res = None
         if opt.use_guided_sampling and not cam.is_dragging() \
                 and self.model is not None:
             img, res = self._render_guided(track_visit)
+        elif self.use_fast_path and not needs_votes and not track_visit:
+            # leaf-map accelerated path (no votes / visit marks needed)
+            with self.timer.time("render"):
+                img = self._render_fast()
         else:
             with self.timer.time("render"):
                 img, res = render_frame(
@@ -152,7 +168,7 @@ class Viewer:
                     cam.fx, cam.fy, cam.cx, cam.cy,
                     jnp.asarray(cam.transform), opt,
                     track_visit=track_visit)
-        if track_visit:
+        if track_visit and res is not None:
             self._visit_tracker = jnp.maximum(self._visit_tracker,
                                               res.visited)
 
@@ -171,6 +187,26 @@ class Viewer:
         return np.asarray(img)
 
     # ------------------------------------------------------------------
+    def _render_fast(self):
+        """Leaf-map accelerated frame; falls back to the exact renderer
+        when the dense-sample cap overflows."""
+        from .ops import accel
+        if self._leaf_map is None:
+            with self.timer.time("leaf_map_build"):
+                self._leaf_map = accel.build_leaf_map(self.tree)
+        img, overflow = accel.render_frame_fast(
+            self.tree, self._leaf_map, self.camera, self.options,
+            max_dense=self.fast_max_dense,
+            chunk_size=self.fast_chunk_size)
+        if bool(overflow):
+            img, _ = render_frame(
+                self.tree, self.camera.width, self.camera.height,
+                self.camera.fx, self.camera.fy, self.camera.cx,
+                self.camera.cy, jnp.asarray(self.camera.transform),
+                self.options)
+            img = jnp.asarray(img)
+        return img
+
     def _render_guided(self, track_visit: bool):
         """Guided-sampling frame (cuda_renderer.cpp:107-139)."""
         from .ops import guided
@@ -188,15 +224,25 @@ class Viewer:
             img = guided.composite_frame(self.tree, cam, opt, cache)
         return img, res
 
+    def _next_key(self):
+        import jax
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        return sub
+
     def _expand_voxels(self, res):
         """Dynamic refinement step (cuda_renderer.cpp:205-341)."""
         from .ops import refine
-        new_tree, added = refine.expand_voxels(
+        new_tree, tracker, added = refine.expand_voxels(
             self.tree, self.model, self.options, res.split_vote,
-            self._visit_tracker)
+            self._visit_tracker, key=self._next_key())
+        self._visit_tracker = tracker
+        if added:
+            self._leaf_map = None
         if added == 0:
             new_tree = refine.get_more_samples(
-                self.tree, self.model, self.options, res.sample_vote)
+                self.tree, self.model, self.options, res.sample_vote,
+                key=self._next_key())
+            self._leaf_map = None
         else:
             self._can_reuse_results = False
             self._guided_cache = None
@@ -207,6 +253,7 @@ class Viewer:
         from .ops import refine
         self.tree, self._visit_tracker = refine.prune_tree(
             self.tree, self._visit_tracker)
+        self._leaf_map = None
 
     # ------------------------------------------------------------------
     def screenshot(self, path: str) -> bool:

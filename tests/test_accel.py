@@ -1,0 +1,132 @@
+"""Fast leaf-map renderer vs the exact renderer (which itself matches the
+scalar oracle)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mega_nerf_viewer_tpu.camera import Camera
+from mega_nerf_viewer_tpu.options import RenderOptions
+from mega_nerf_viewer_tpu.n3tree import sphere_tree, random_tree
+from mega_nerf_viewer_tpu.ops.render import render_rays
+from mega_nerf_viewer_tpu.ops import accel
+from mega_nerf_viewer_tpu.ops.rays import screen2worlddir, rodrigues
+
+
+def _rays(cam, opt):
+    dirs, cen = screen2worlddir(cam.width, cam.height, cam.fx, cam.fy,
+                                cam.cx, cam.cy, jnp.asarray(cam.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    return dirs, vdirs, cen
+
+
+def _cam(w=16, h=16, fx=20.0):
+    cam = Camera(w, h, fx)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    return cam
+
+
+def _check(tree, opt, cam, level=None, chunk_size=0, atol=1e-6):
+    lm = accel.build_leaf_map(tree, level=level)
+    dirs, vdirs, cen = _rays(cam, opt)
+    exact = render_rays(tree, dirs, vdirs, cen, opt)
+    fast = accel.render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
+                                  chunk_size=chunk_size)
+    assert not bool(fast.overflow)
+    np.testing.assert_allclose(np.asarray(fast.out),
+                               np.asarray(exact.out), atol=atol)
+    return lm
+
+
+def test_leaf_map_full_coverage():
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lm = accel.build_leaf_map(tree)
+    assert lm.deep_levels == 0
+    assert lm.rows.shape == (lm.grid ** 3, 2)
+    # no internal cells when map covers the full tree
+    meta = np.asarray(lm.rows[:, 1])
+    assert np.all((meta & accel._INTERNAL_BIT) == 0)
+
+
+def test_fast_matches_exact_sh1():
+    _check(sphere_tree(basis_dim=1, depth=3), RenderOptions(), _cam())
+
+
+def test_fast_matches_exact_sh9():
+    _check(sphere_tree(basis_dim=9, depth=3), RenderOptions(),
+           _cam(12, 12, 16.0))
+
+
+def test_fast_matches_exact_shallow_map():
+    """Map at level 2 < tree depth: internal cells + resumed descent."""
+    tree = sphere_tree(basis_dim=1, depth=4)
+    lm = _check(tree, RenderOptions(), _cam(), level=2)
+    assert lm.deep_levels > 0
+    meta = np.asarray(lm.rows[:, 1])
+    assert np.any((meta & accel._INTERNAL_BIT) != 0)
+
+
+def test_fast_matches_exact_random_topology():
+    _check(random_tree(n_chunks=80, basis_dim=4, seed=7, density=1.0),
+           RenderOptions(), _cam(12, 12, 14.0), level=3)
+
+
+def test_fast_matches_depth_mode():
+    _check(sphere_tree(basis_dim=1, depth=3),
+           RenderOptions(render_depth=True), _cam(10, 10, 14.0))
+
+
+def test_fast_matches_bbox():
+    _check(sphere_tree(basis_dim=1, depth=3),
+           RenderOptions(render_bbox=(0.25, 0.0, 0.25, 0.9, 0.8, 1.0)),
+           _cam(10, 10, 14.0))
+
+
+def test_fast_chunked_matches():
+    tree = sphere_tree(basis_dim=1, depth=3)
+    opt = RenderOptions()
+    cam = _cam(16, 16, 20.0)
+    _check(tree, opt, cam, chunk_size=64)
+
+
+def test_render_frame_fast():
+    tree = sphere_tree(basis_dim=4, depth=3)
+    opt = RenderOptions(background_brightness=0.5)
+    cam = _cam(20, 20, 26.0)
+    lm = accel.build_leaf_map(tree)
+    img, overflow = accel.render_frame_fast(tree, lm, cam, opt,
+                                            chunk_size=128, block=8)
+    assert img.shape == (20, 20, 4)
+    assert not bool(overflow)
+    from mega_nerf_viewer_tpu.ops.render import render_frame
+    want, _ = render_frame(tree, cam.width, cam.height, cam.fx, cam.fy,
+                           cam.cx, cam.cy, jnp.asarray(cam.transform), opt)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(want),
+                               atol=1e-6)
+
+
+def test_overflow_flag():
+    """A tree dense everywhere with tiny sigma -> many dense samples."""
+    tree = sphere_tree(basis_dim=1, depth=4, sigma_inside=0.02)
+    # sigma 0.02 > thresh 0.01, but tiny -> no early termination
+    opt = RenderOptions()
+    cam = _cam(4, 4, 6.0)
+    lm = accel.build_leaf_map(tree)
+    dirs, vdirs, cen = _rays(cam, opt)
+    fast = accel.render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
+                                  max_dense=2)
+    assert bool(fast.overflow)
+
+
+def test_block_permutation_inverse():
+    perm, inv = accel.block_permutation(9, 7, block=4)
+    p = np.asarray(perm)
+    i = np.asarray(inv)
+    assert sorted(p.tolist()) == list(range(63))
+    np.testing.assert_array_equal(p[i], np.arange(63))
+
+
+def test_tree_max_depth():
+    assert accel.tree_max_depth(sphere_tree(basis_dim=1, depth=3)) == 3
+    assert accel.tree_max_depth(sphere_tree(basis_dim=1, depth=4)) == 4

@@ -1,0 +1,203 @@
+"""Guided sampling: collection march + NeRF-results compositor vs scalar
+numpy transliterations of get_samples_trace_ray (rt_core.cuh:418-576) and
+composite_nerf_results (rt_core.cuh:334-416)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mega_nerf_viewer_tpu.camera import Camera
+from mega_nerf_viewer_tpu.options import RenderOptions
+from mega_nerf_viewer_tpu.n3tree import sphere_tree
+from mega_nerf_viewer_tpu.models import MegaNeRFModel
+from mega_nerf_viewer_tpu.ops import oracle, guided
+from mega_nerf_viewer_tpu.ops.rays import screen2worlddir, rodrigues
+from mega_nerf_viewer_tpu.ops.sh import eval_sh_basis
+
+f32 = np.float32
+
+
+def _rays(cam, opt):
+    dirs, cen = screen2worlddir(cam.width, cam.height, cam.fx, cam.fy,
+                                cam.cx, cam.cy, jnp.asarray(cam.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    return dirs, vdirs, cen
+
+
+def _guided_oracle(host, dir_w, vdir, cen_w, opt, grid_dim, min_pos, rng_):
+    """Scalar transliteration of get_samples_trace_ray."""
+    scale = np.asarray(host["scale"], f32)
+    offset = np.asarray(host["offset"], f32)
+    N = host["N"]
+    data = host["data"]
+    child = host["child"]
+    data_dim = data.shape[-1]
+
+    cen = offset + scale * np.asarray(cen_w, f32)
+    d = np.asarray(dir_w, f32) * scale
+    ds = f32(1.0) / np.linalg.norm(d).astype(f32)
+    d = d * ds
+    invdir = (f32(1.0) / (d + f32(1e-9))).astype(f32)
+    tmin, tmax = oracle.dda_world(cen, invdir, opt.render_bbox)
+    rows, cids = [], []
+    if tmax < 0 or tmin > tmax:
+        return rows, cids
+    T = f32(1.0)
+    t = f32(tmin)
+    while t < tmax:
+        pos = (cen + t * d).astype(f32)
+        chunk, cidx, depth, frac, _ = oracle.query_single_from_root(
+            child, pos, N)
+        cube = f32(N) ** f32(depth)
+        dt = oracle.dda_unit(frac, invdir) / cube + f32(opt.step_size)
+        sigma = f32(data[chunk, cidx, data_dim - 1])
+        if sigma > f32(opt.sigma_thresh):
+            att = np.exp(f32(-dt * ds * sigma)).astype(f32)
+            if len(rows) < opt.max_guided_samples:
+                tz = (t * d) / scale
+                z = np.linalg.norm(tz.astype(f32)).astype(f32)
+                p = np.asarray(cen_w, f32) + np.asarray(dir_w, f32) * z
+                row = [z, p[0], p[1], p[2]]
+                if opt.need_viewdir:
+                    row += list(vdir)
+                if opt.appearance_embedding != -1:
+                    row.append(opt.appearance_embedding)
+                rows.append(np.asarray(row, f32))
+                g1 = int(max(min((p[1] - min_pos[1]) / rng_[1] * grid_dim[0],
+                                 grid_dim[0] - 1.0), 0.0))
+                g2 = int(max(min((p[2] - min_pos[2]) / rng_[2] * grid_dim[1],
+                                 grid_dim[1] - 1.0), 0.0))
+                cids.append(g1 * grid_dim[1] + g2)
+            T = T * att
+            if T < f32(opt.stop_thresh):
+                break
+        t = t + dt
+    return rows, cids
+
+
+def test_collect_samples_matches_oracle():
+    tree = sphere_tree(basis_dim=1, depth=3)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1))
+    opt = RenderOptions(max_guided_samples=32)
+    cam = Camera(10, 10, 14.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    dirs, vdirs, cen = _rays(cam, opt)
+    col = guided.collect_samples(
+        tree, dirs, vdirs, cen,
+        jnp.asarray(model.grid_dim, jnp.int32),
+        jnp.asarray(model.min_position, jnp.float32),
+        jnp.asarray(model.range, jnp.float32), opt)
+    host = oracle.tree_to_host(tree)
+    d_np, v_np, c_np = map(np.asarray, (dirs, vdirs, cen))
+    ns = np.asarray(col.num_samples)
+    samples = np.asarray(col.samples)
+    ids = np.asarray(col.cluster_ids)
+    n_match = 0
+    for i in range(len(d_np)):
+        rows, cids = _guided_oracle(host, d_np[i], v_np[i], c_np, opt,
+                                    model.grid_dim, model.min_position,
+                                    model.range)
+        if len(rows) != ns[i]:
+            continue
+        if len(rows) == 0:
+            n_match += 1
+            continue
+        want = np.stack(rows)
+        got = samples[i, :len(rows)]
+        if np.allclose(got, want, atol=2e-4) and \
+                np.array_equal(ids[i, :len(rows)], cids):
+            n_match += 1
+    assert n_match >= 0.98 * len(d_np), f"{n_match}/{len(d_np)}"
+    assert ns.max() > 2   # non-trivial
+
+
+def _composite_oracle(samples_vals, z_vals, opt, basis, basis_dim):
+    """Scalar transliteration of composite_nerf_results."""
+    out = np.zeros(4, f32)
+    out[3] = 1.0
+    n = len(z_vals)
+    if n == 0:
+        return out
+    ti = f32(1.0)
+    wc = f32(1.0)
+    for i in range(n):
+        if i < n - 1:
+            delta = f32(z_vals[i + 1] - z_vals[i])
+            wc = np.exp(f32(-samples_vals[i][3] * delta)).astype(f32)
+            w = ti * (f32(1.0) - wc)
+        else:
+            w = ti
+        if opt.render_depth:
+            out[0] += w * ti
+        else:
+            for c in range(3):
+                tmp = f32(np.dot(basis,
+                                 samples_vals[i][c * basis_dim:
+                                                 (c + 1) * basis_dim]))
+                out[c] += w / (f32(1.0) + np.exp(-tmp))
+        ti = ti * wc
+    if opt.render_depth:
+        out[0] = out[1] = out[2] = min(out[0] * f32(0.3), f32(1.0))
+    return out
+
+
+def test_composite_results_matches_oracle(rng):
+    R, S, basis_dim = 24, 16, 1
+    out_dim = 3 * basis_dim + 2   # data_dim + 1
+    opt = RenderOptions()
+    results = rng.randn(R, S, out_dim).astype(f32)
+    results[..., 3] = np.abs(results[..., 3]) * 3   # sigma >= 0
+    z = np.sort(rng.rand(R, S).astype(f32) * 2, axis=1)
+    ns = rng.randint(0, S + 1, R).astype(np.int32)
+    vdirs = rng.randn(R, 3).astype(f32)
+    vdirs /= np.linalg.norm(vdirs, axis=-1, keepdims=True)
+    got = np.asarray(guided.composite_results(
+        jnp.asarray(results), jnp.asarray(z), jnp.asarray(ns),
+        jnp.asarray(vdirs), opt, basis_dim, True))
+    for i in range(R):
+        basis = np.asarray(eval_sh_basis(basis_dim, vdirs[i])).astype(f32)
+        want = _composite_oracle(results[i, :ns[i]], z[i, :ns[i]], opt,
+                                 basis, basis_dim)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_composite_depth_mode(rng):
+    R, S = 8, 8
+    opt = RenderOptions(render_depth=True)
+    results = np.abs(rng.randn(R, S, 5).astype(f32))
+    z = np.sort(rng.rand(R, S).astype(f32), axis=1)
+    ns = np.full(R, S, np.int32)
+    vdirs = np.tile(np.array([[0, 0, 1]], f32), (R, 1))
+    got = np.asarray(guided.composite_results(
+        jnp.asarray(results), jnp.asarray(z), jnp.asarray(ns),
+        jnp.asarray(vdirs), opt, 1, True))
+    for i in range(R):
+        basis = np.asarray(eval_sh_basis(1, vdirs[i])).astype(f32)
+        want = _composite_oracle(results[i], z[i], opt, basis, 1)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_collect_and_query_end_to_end():
+    tree = sphere_tree(basis_dim=1, depth=3)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1))
+    opt = RenderOptions(max_guided_samples=16, use_guided_sampling=True)
+    cam = Camera(8, 8, 12.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    cache, res = guided.collect_and_query(tree, model, cam, opt)
+    img = guided.composite_frame(tree, cam, opt, cache)
+    img = np.asarray(img)
+    assert img.shape == (8, 8, 4)
+    assert np.all(img[..., 3] == 1.0)       # alpha forced to 1
+    assert np.isfinite(img).all()
+    # rays with samples should have non-trivial color
+    ns = np.asarray(cache["num_samples"]).reshape(8, 8)
+    assert ns.max() > 0
+    # MLP results for valid slots should be nonzero somewhere
+    r = np.asarray(cache["results"])
+    assert np.abs(r).max() > 0

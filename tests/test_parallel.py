@@ -1,0 +1,138 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: sharded render
+equals single-device render; tp MLP equals dense MLP; the full jitted
+frame+refine step runs and grows the tree."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mega_nerf_viewer_tpu.camera import Camera
+from mega_nerf_viewer_tpu.options import RenderOptions
+from mega_nerf_viewer_tpu.n3tree import sphere_tree
+from mega_nerf_viewer_tpu.models import MegaNeRFModel
+from mega_nerf_viewer_tpu.models.meganerf import mlp_forward_all
+from mega_nerf_viewer_tpu.ops.render import render_rays
+from mega_nerf_viewer_tpu.ops.rays import screen2worlddir, rodrigues
+from mega_nerf_viewer_tpu import parallel
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def _rays(cam, opt):
+    dirs, cen = screen2worlddir(cam.width, cam.height, cam.fx, cam.fy,
+                                cam.cx, cam.cy, jnp.asarray(cam.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    return dirs, vdirs, cen
+
+
+def test_sharded_render_matches_single(eight_devices):
+    tree = sphere_tree(basis_dim=1, depth=3)
+    opt = RenderOptions()
+    cam = Camera(16, 16, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    dirs, vdirs, cen = _rays(cam, opt)
+    mesh = parallel.make_mesh((8,), (parallel.RAY_AXIS,), eight_devices)
+    res_sharded = parallel.render_rays_sharded(
+        tree, dirs, vdirs, cen, opt, mesh, track_visit=True)
+    res_single = render_rays(tree, dirs, vdirs, cen, opt, track_visit=True)
+    np.testing.assert_allclose(np.asarray(res_sharded.out),
+                               np.asarray(res_single.out), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res_sharded.split_vote),
+                                  np.asarray(res_single.split_vote))
+    np.testing.assert_array_equal(np.asarray(res_sharded.visited),
+                                  np.asarray(res_single.visited))
+
+
+def test_render_frame_sharded_pads_nondivisible(eight_devices):
+    tree = sphere_tree(basis_dim=1, depth=2)
+    opt = RenderOptions()
+    cam = Camera(9, 7, 10.0)   # 63 rays, not divisible by 8
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    mesh = parallel.make_mesh((8,), (parallel.RAY_AXIS,), eight_devices)
+    img = parallel.render_frame_sharded(tree, cam, opt, mesh)
+    assert img.shape == (7, 9, 4)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_tp_mlp_matches_dense(eight_devices, rng):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import functools
+
+    model = MegaNeRFModel.synthetic(data_dim=4, n_clusters=4,
+                                    hidden=32, n_layers=4, seed=3)
+    mesh = parallel.make_mesh((4, 2),
+                              (parallel.RAY_AXIS, parallel.MODEL_AXIS),
+                              eight_devices)
+    x = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, 4, 64).astype(np.int32))
+    pspecs = parallel.tp_param_specs(model.params)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(pspecs, P(parallel.RAY_AXIS), P(parallel.RAY_AXIS)),
+        out_specs=P(parallel.RAY_AXIS), check_vma=False)
+    def tp_apply(p, cid, xx):
+        return parallel.mlp_forward_all_tp(p, cid, xx)
+
+    got = np.asarray(tp_apply(model.params, ids, x))
+    want = np.asarray(mlp_forward_all(model.params, ids, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_frame_refine_step(eight_devices):
+    tree = sphere_tree(basis_dim=1, depth=3, max_capacity=2000)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, hidden=16, n_layers=4,
+        grid_dim=(2, 2), min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    opt = RenderOptions(use_splitting=True, split_batch_size=16,
+                        samples_per_corner=8)
+    mesh = parallel.make_mesh((4, 2),
+                              (parallel.RAY_AXIS, parallel.MODEL_AXIS),
+                              eight_devices)
+    step = parallel.make_frame_refine_step(mesh, opt)
+    cam = Camera(16, 16, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    dirs, vdirs, cen = _rays(cam, opt)
+    tracker = jnp.zeros((tree.max_capacity,), jnp.int32).at[0].set(1)
+    out, new_tree, tracker, n_added = step(
+        tree, model.params,
+        jnp.asarray(model.grid_dim, jnp.int32),
+        jnp.asarray(model.min_position, jnp.float32),
+        jnp.asarray(model.range, jnp.float32),
+        dirs, vdirs, cen, tracker, jax.random.PRNGKey(0))
+    assert out.shape == (16 * 16, 4)
+    assert int(n_added) > 0
+    assert int(new_tree.capacity) == int(tree.capacity) + int(n_added)
+    # refined tree renders fine
+    res = render_rays(new_tree, dirs, vdirs, cen, opt)
+    assert np.isfinite(np.asarray(res.out)).all()
+
+
+def test_expand_jit_matches_host_policy():
+    """Device-side vote aggregation selects the same nodes as the host
+    aggregation (same count>1 / most-voted-first policy)."""
+    from mega_nerf_viewer_tpu.ops import refine
+    votes = np.array([
+        [2, 5, 1], [2, 5, 1], [2, 5, 1],
+        [1, 3, 0], [1, 3, 0],
+        [2, 7, 2], [2, 7, 2],
+        [4, 9, 3],
+        [9, -1, -1],
+    ], np.float32)
+    host = refine.aggregate_split_votes(votes, 8)
+    nodes, prio, valid = refine.aggregate_split_votes_device(
+        jnp.asarray(votes), 8, 8)
+    nodes = np.asarray(nodes)[np.asarray(valid)]
+    got = np.stack([nodes // 8, nodes % 8], axis=1)
+    np.testing.assert_array_equal(got, host)

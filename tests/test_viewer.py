@@ -1,0 +1,131 @@
+"""Viewer frame-orchestration loop: refinement cadence, prune trigger,
+guided-result caching, drag suppression — reference Impl::render
+(cuda_renderer.cpp:68-163)."""
+
+import numpy as np
+
+from mega_nerf_viewer_tpu import Viewer, RenderOptions, Camera
+from mega_nerf_viewer_tpu.n3tree import sphere_tree
+from mega_nerf_viewer_tpu.models import MegaNeRFModel
+
+
+def _viewer(depth=3, max_cap=3000, w=16, h=16, **opt_kw):
+    tree = sphere_tree(basis_dim=1, depth=depth, max_capacity=max_cap)
+    cam = Camera(w, h, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    v = Viewer(tree, camera=cam, options=RenderOptions(**opt_kw),
+               max_tree_capacity=max_cap)
+    v.model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    return v
+
+
+def test_static_render():
+    v = _viewer()
+    img = v.render()
+    assert img.shape == (16, 16, 4)
+    assert img[..., 3].max() > 0.5
+
+
+def test_basis_minmax_set_on_tree_install():
+    v = _viewer()
+    assert v.options.basis_minmax == (0, 0)   # basis_dim 1
+
+
+def test_splitting_grows_tree():
+    v = _viewer(use_splitting=True, split_batch_size=64)
+    cap0 = int(v.tree.capacity)
+    v.render()
+    cap1 = int(v.tree.capacity)
+    assert cap1 > cap0
+
+
+def test_splitting_suppressed_while_dragging():
+    v = _viewer(use_splitting=True, split_batch_size=64)
+    cap0 = int(v.tree.capacity)
+    v.camera.begin_drag(0, 0, False, False)
+    v.render()
+    assert int(v.tree.capacity) == cap0
+    v.camera.end_drag()
+
+
+def test_prune_triggers_near_capacity():
+    v = _viewer(depth=3, max_cap=None, use_splitting=False,
+                split_batch_size=4192)
+    # max_cap defaults to tree capacity; max_cap - cap < split_batch_size
+    cap0 = int(v.tree.capacity)
+    v.render()   # visit-tracked? capacity == max so prune path triggers
+    # prune ran; unvisited chunks (behind the sphere) should be removed
+    assert v._prune_happened
+    assert int(v.tree.capacity) <= cap0
+
+
+def test_guided_cache_invalidated_on_camera_move():
+    v = _viewer(use_guided_sampling=True, max_guided_samples=8)
+    v.render()
+    assert v._can_reuse_results
+    cache1 = v._guided_cache
+    v.render()
+    assert v._guided_cache is cache1          # reused
+    v.camera.move(np.array([0.1, 0, 0]))
+    v.render()
+    assert v._guided_cache is not cache1      # recomputed
+
+
+def test_resize_rescales_intrinsics():
+    v = _viewer()
+    fx0, fy0 = v.camera.fx, v.camera.fy
+    v.resize(32, 48)
+    assert v.camera.width == 32 and v.camera.height == 48
+    assert abs(v.camera.fx - fx0 * 2.0) < 1e-6
+    assert abs(v.camera.fy - fy0 * 3.0) < 1e-6
+    assert v.camera.cx == 16 and v.camera.cy == 24
+    img = v.render()
+    assert img.shape == (48, 32, 4)
+
+
+def test_clear():
+    v = _viewer()
+    v.clear()
+    img = v.render()
+    assert img.shape == (16, 16, 4)
+    np.testing.assert_allclose(
+        img[..., :3], v.options.background_brightness)
+
+
+def test_screenshot(tmp_path):
+    v = _viewer()
+    p = str(tmp_path / "shot.png")
+    assert v.screenshot(p)
+    from mega_nerf_viewer_tpu.utils import read_png
+    img = read_png(p)
+    assert img.shape == (16, 16, 4)
+
+
+def test_cli_smoke(tmp_path):
+    from mega_nerf_viewer_tpu.cli import main
+    tree = sphere_tree(basis_dim=1, depth=3)
+    npz = str(tmp_path / "t.npz")
+    tree.save_npz(npz)
+    out = str(tmp_path / "o.png")
+    rc = main([npz, "-w", "24", "--height", "24", "--fx", "30",
+               "--center=-1.5,0.1,1.4", "-o", out, "--bg", "0.5"])
+    assert rc == 0
+    from mega_nerf_viewer_tpu.utils import read_png
+    img = read_png(out)
+    assert img.shape == (24, 24, 4)
+
+
+def test_cli_orbit_frames(tmp_path):
+    from mega_nerf_viewer_tpu.cli import main
+    tree = sphere_tree(basis_dim=1, depth=2)
+    npz = str(tmp_path / "t.npz")
+    tree.save_npz(npz)
+    out = str(tmp_path / "orbit.png")
+    rc = main([npz, "-w", "8", "--height", "8", "--fx", "10",
+               "--frames", "3", "--orbit", "-o", out])
+    assert rc == 0
+    import os
+    assert os.path.exists(str(tmp_path / "orbit_0000.png"))
+    assert os.path.exists(str(tmp_path / "orbit_0002.png"))
