@@ -152,7 +152,16 @@ class N3Tree:
         """
         if not str(path).endswith(".npz"):
             raise ValueError("expected a .npz file")
-        npz = np.load(path, allow_pickle=False)
+        # prefer the native mmap'd multi-threaded loader (native.py /
+        # native/nerfview_native.cpp); numpy is the portable fallback
+        from .. import native
+        if native.available():
+            try:
+                npz = native.load_npz(str(path))
+            except RuntimeError:
+                npz = np.load(path, allow_pickle=False)
+        else:
+            npz = np.load(path, allow_pickle=False)
         host = load_npz_host(npz, vq_bug_compat=vq_bug_compat)
         (data, child, parent, scale, offset, data_format) = host
         if bounds_only:
@@ -321,6 +330,15 @@ def _decode_vq(npz, data_dim: int, n3: int, bug_compat: bool) -> np.ndarray:
     n_retain = retained.shape[0] if retained is not None else 0
     n_basis = n_basis_q + n_retain
     capacity = quant_map.shape[1]
+
+    from .. import native
+    if native.available():
+        sigma_arr = np.asarray(npz["sigma"]).reshape(capacity, n3)
+        return native.vq_decode(
+            np.asarray(npz["quant_map"]), quant_colors,
+            retained.reshape(n_retain, capacity, n3).astype(np.float16)
+            if retained is not None else None,
+            sigma_arr, data_dim, bug_compat=bug_compat)
 
     data = np.zeros((capacity, n3, data_dim), dtype=np.float16)
     # decoded[b, i, j, channel] for quantized bases b in [n_retain, n_basis)

@@ -157,6 +157,9 @@ class Viewer:
         if opt.use_guided_sampling and not cam.is_dragging() \
                 and self.model is not None:
             img, res = self._render_guided(track_visit)
+        elif opt.show_grid:
+            with self.timer.time("render"):
+                img, res = self._render_with_grid(track_visit)
         elif self.use_fast_path and not needs_votes and not track_visit:
             # leaf-map accelerated path (no votes / visit marks needed)
             with self.timer.time("render"):
@@ -207,6 +210,41 @@ class Viewer:
             img = jnp.asarray(img)
         return img
 
+    def _render_with_grid(self, track_visit: bool):
+        """Frame with the octree wireframe overlay: the rasterized line
+        depth bounds each ray's march (tmax_bg, renderer_kernel.cu:277-280)
+        and the line color is composited behind the volume exactly like
+        the onscreen path (composite_and_write, renderer_kernel.cu:215-241).
+        """
+        from .utils.wireframe import grid_overlay
+        from .ops.render import render_rays, composite_background
+        from .ops.rays import screen2worlddir, rodrigues
+        cam = self.camera
+        opt = self.options
+        key = (opt.grid_max_depth, id(self.tree),
+               cam.transform.tobytes(), cam.fx, cam.fy,
+               cam.width, cam.height)
+        cache = getattr(self, "_grid_cache", None)
+        if cache is None or cache[0] != key:
+            with self.timer.time("gen_wire"):
+                overlay_rgb, overlay_depth = grid_overlay(
+                    self.tree, cam, opt.grid_max_depth)
+            self._grid_cache = (key, overlay_rgb, overlay_depth)
+        _, overlay_rgb, overlay_depth = self._grid_cache
+        dirs, cen = screen2worlddir(
+            cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
+            jnp.asarray(cam.transform))
+        vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+        res = render_rays(self.tree, dirs, vdirs, cen, opt,
+                          tmax_bg=jnp.asarray(overlay_depth.reshape(-1)),
+                          track_visit=track_visit)
+        has_line = overlay_depth.reshape(-1, 1) < 1e9
+        bg_rgb = jnp.where(jnp.asarray(has_line),
+                           jnp.asarray(overlay_rgb.reshape(-1, 3)),
+                           opt.background_brightness)
+        img = composite_background(res.out, opt, bg_rgb=bg_rgb)
+        return img.reshape(cam.height, cam.width, 4), res
+
     def _render_guided(self, track_visit: bool):
         """Guided-sampling frame (cuda_renderer.cpp:107-139)."""
         from .ops import guided
@@ -254,6 +292,75 @@ class Viewer:
         self.tree, self._visit_tracker = refine.prune_tree(
             self.tree, self._visit_tracker)
         self._leaf_map = None
+
+    # ------------------------------------------------------------------
+    # Interactive-equivalent input handling (reference main.cpp:268-420)
+    # ------------------------------------------------------------------
+    def key_event(self, key: str, shift: bool = False) -> None:
+        """Headless keymap matching the reference GLFW handler
+        (main.cpp:273-383): WASDQE movement, M/R toggles, G/F grid
+        depth, -/=/0 focal, 1-6 world up, C prints C2W."""
+        cam = self.camera
+        key = key.upper() if len(key) == 1 else key
+        if key in "WSADEQ":
+            speed = 0.002 * (5.0 if shift else 1.0)
+            if key in "SAE":
+                speed = -speed
+            vec = (cam.v_right if key in "AD"
+                   else -cam.v_back if key in "WS"
+                   else -cam.v_up)
+            cam.move(vec * speed)
+        elif key == "C":
+            print("C2W:\n")
+            for i in range(3):
+                print(" ".join(f"{cam.transform[j][i]:.10f}"
+                               for j in range(4)))
+        elif key == "M":
+            self.options = self.options.replace(
+                use_splitting=not self.options.use_splitting)
+        elif key == "R":
+            self.options = self.options.replace(
+                use_guided_sampling=not self.options.use_guided_sampling)
+        elif key == "G":
+            self.options = self.options.replace(
+                grid_max_depth=self.options.grid_max_depth + 1)
+        elif key == "F":
+            self.options = self.options.replace(
+                grid_max_depth=self.options.grid_max_depth - 1)
+        elif key == "-":
+            cam.fx *= 0.99
+            cam.fy *= 0.99
+        elif key == "=":
+            cam.fx *= 1.01
+            cam.fy *= 1.01
+        elif key == "0":
+            cam.fx = cam.default_fx
+            cam.fy = cam.default_fy
+        elif key in "123456":
+            ups = {"1": (0, 0, 1), "2": (0, 0, -1), "3": (0, 1, 0),
+                   "4": (0, -1, 0), "5": (1, 0, 0), "6": (-1, 0, 0)}
+            cam.v_world_up = np.asarray(ups[key], np.float32)
+
+    def mouse_button(self, button: str, pressed: bool, x: float,
+                     y: float, shift: bool = False) -> None:
+        """left = orbit about camera, right = orbit about origin,
+        middle/shift = pan (main.cpp:387-406)."""
+        if pressed:
+            is_pan = shift or button == "middle"
+            about_origin = (button == "right"
+                            or (button == "middle" and shift))
+            self.camera.begin_drag(x, y, is_pan, about_origin)
+        else:
+            self.camera.end_drag()
+
+    def cursor(self, x: float, y: float) -> None:
+        self.camera.drag_update(x, y)
+
+    def scroll(self, yoffset: float) -> None:
+        """Scroll moves along the view axis (main.cpp:412-420)."""
+        speed_fact = 1e-1
+        self.camera.move(self.camera.v_back
+                         * (speed_fact if yoffset < 0 else -speed_fact))
 
     # ------------------------------------------------------------------
     def screenshot(self, path: str) -> bool:

@@ -1,0 +1,76 @@
+"""Native C++ data-path runtime (native/nerfview_native.cpp via ctypes):
+npz parity with numpy, VQ decode parity with the pure-python decode."""
+
+import numpy as np
+import pytest
+
+from mega_nerf_viewer_tpu import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built")
+
+
+def test_npz_parity_stored_and_deflate(tmp_path, rng):
+    arrs = dict(
+        f16=rng.randn(37, 8, 28).astype(np.float16),
+        i32=rng.randint(-1000, 1000, (129, 3)).astype(np.int32),
+        i64scalar=np.int64(42),
+        f64=np.float64(0.125),
+        u16=rng.randint(0, 65535, (4, 9)).astype(np.uint16),
+        s=np.str_("SH16"),
+    )
+    for name, saver in [("s.npz", np.savez),
+                        ("c.npz", np.savez_compressed)]:
+        p = str(tmp_path / name)
+        saver(p, **arrs)
+        out = native.load_npz(p)
+        got_np = np.load(p)
+        for k in arrs:
+            if k == "s":
+                assert str(out[k]) == "SH16"
+            else:
+                np.testing.assert_array_equal(out[k], got_np[k])
+
+
+def test_vq_decode_parity(rng):
+    from mega_nerf_viewer_tpu.n3tree import tree as tree_mod
+    cap, n3 = 17, 8
+    for n_basis_q, n_retain in [(1, 0), (2, 0), (2, 1)]:
+        n_basis = n_basis_q + n_retain
+        data_dim = 3 * n_basis + 1
+        codebook = rng.randn(n_basis_q, 65536, 3).astype(np.float16)
+        qmap = rng.randint(0, 65536, (n_basis_q, cap, n3)).astype(np.uint16)
+        sigma = rng.rand(cap, n3).astype(np.float16)
+        retained = (rng.randn(n_retain, cap, n3).astype(np.float16)
+                    if n_retain else None)
+        for bug_compat in (True, False):
+            native_out = native.vq_decode(
+                qmap, codebook, retained, sigma, data_dim,
+                bug_compat=bug_compat)
+            npz = dict(quant_colors=codebook, quant_map=qmap, sigma=sigma)
+            if retained is not None:
+                npz["data_retained"] = retained
+            # force the numpy path by monkeypatching availability
+            orig = native.available
+            native.available = lambda: False
+            try:
+                numpy_out = tree_mod._decode_vq(npz, data_dim, n3,
+                                                bug_compat)
+            finally:
+                native.available = orig
+            np.testing.assert_array_equal(native_out, numpy_out)
+
+
+def test_tree_open_uses_native(tmp_path):
+    from mega_nerf_viewer_tpu.n3tree import sphere_tree, N3Tree
+    t = sphere_tree(basis_dim=4, depth=3)
+    p = str(tmp_path / "t.npz")
+    t.save_npz(p)
+    t2 = N3Tree.open(p)   # goes through the native loader
+    cap = int(t.capacity)
+    np.testing.assert_array_equal(np.asarray(t2.data)[:cap],
+                                  np.asarray(t.data)[:cap])
+    np.testing.assert_array_equal(np.asarray(t2.child)[:cap],
+                                  np.asarray(t.child)[:cap])
+    assert t2.data_format == t.data_format
