@@ -241,6 +241,199 @@ def composite_results(results: jax.Array,      # [R, S, out_dim]
 
 
 # ----------------------------------------------------------------------
+# Leaf-map accelerated collection (TPU fast path)
+# ----------------------------------------------------------------------
+@functools.partial(
+    jax.jit, static_argnames=("opt", "chunk_size"))
+def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
+                   cen_world: jax.Array, opt: RenderOptions,
+                   chunk_size: int = 0):
+    """March with the dense leaf map, recording only the tree-space ray
+    parameter ``t`` of each recorded sample (one f32 per slot via
+    one-hot select — TPU scatter is pathological).  The full sample rows
+    (z, world position, viewdir, appearance, cluster id) are exactly
+    reconstructible from t (rt_core.cuh:514-528 derives them all from
+    t), so this is the TPU-fast equivalent of :func:`collect_samples`.
+
+    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32).
+    """
+    from .accel import _f16_bits_to_f32
+    N, N3 = tree.N, tree.N3
+    R = dirs.shape[0]
+    S = opt.max_guided_samples
+    data_dim = tree.data_dim
+    G = leaf_map.grid
+    rows_flat = leaf_map.rows
+    child_flat = tree.child.reshape(-1)
+    sigma_flat = tree.data.reshape(-1, data_dim)[:, data_dim - 1]
+
+    cen = tree.offset + tree.scale * cen_world
+    d = dirs * tree.scale[None, :]
+    delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
+    d = d * delta_scale[:, None]
+    invdir = 1.0 / (d + jnp.float32(1e-9))
+    tmin, tmax = _dda_world_batch(cen, invdir, opt.render_bbox)
+    miss = (tmax < 0) | (tmin > tmax)
+
+    def march_chunk(args):
+        cen_c, d_c, invdir_c, ds_c, tmin_c, tmax_c, miss_c = args
+        r = d_c.shape[0]
+        t_buf = jnp.full((r, S), -1.0, jnp.float32)
+        srange = jnp.arange(S, dtype=jnp.int32)
+        ns = jnp.zeros((r,), jnp.int32)
+        t = tmin_c
+        T = jnp.ones((r,), jnp.float32)
+        active = ~miss_c & (t < tmax_c)
+
+        def cond(c):
+            return jnp.any(c[-1])
+
+        def body(c):
+            t, T, t_buf, ns, active = c
+            pos = cen_c + t[:, None] * d_c
+            posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
+            cell = jnp.floor(posc * G).astype(jnp.int32)
+            lin = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+            row = jnp.take(rows_flat, lin, axis=0, mode="clip")
+            meta = row[:, 1]
+            depth = meta & 31
+            sigma = _f16_bits_to_f32((meta >> 16) & 0xFFFF)
+            if leaf_map.deep_levels > 0:
+                internal = (meta & (1 << 5)) != 0
+                u0 = posc * (1 << leaf_map.level)
+                fxyz = u0 - jnp.floor(u0)
+                chunk = row[:, 0]
+                ddepth = depth
+                done = ~internal
+                cidx = jnp.zeros_like(chunk)
+                for _ in range(leaf_map.deep_levels + 1):
+                    upd = ~done
+                    u2 = fxyz * N
+                    digs = jnp.floor(u2)
+                    idx2 = (digs[:, 0] * (N * N) + digs[:, 1] * N
+                            + digs[:, 2]).astype(jnp.int32)
+                    skip = jnp.take(child_flat, chunk * N3 + idx2,
+                                    mode="clip")
+                    leaf = skip == 0
+                    fxyz = jnp.where(upd[:, None], u2 - digs, fxyz)
+                    cidx = jnp.where(upd, idx2, cidx)
+                    chunk = jnp.where(upd & ~leaf, chunk + skip, chunk)
+                    ddepth = jnp.where(upd & ~leaf, ddepth + 1, ddepth)
+                    done = done | leaf
+                sigma_deep = jnp.take(sigma_flat, chunk * N3 + cidx,
+                                      mode="clip").astype(jnp.float32)
+                sigma = jnp.where(internal, sigma_deep, sigma)
+                depth = jnp.where(internal, ddepth, depth)
+            cube = jnp.exp2(depth.astype(jnp.float32))
+            u = posc * cube[:, None]
+            frac = u - jnp.floor(u)
+            t_sub = _dda_unit_batch(frac, invdir_c) / cube
+            delta_t = t_sub + jnp.float32(opt.step_size)
+            dense = active & (sigma > opt.sigma_thresh)
+            att = jnp.exp(-delta_t * ds_c * sigma)
+            rec = dense & (ns < S)
+            m = rec[:, None] & (ns[:, None] == srange[None, :])
+            t_buf = jnp.where(m, t[:, None], t_buf)
+            ns = jnp.where(rec, ns + 1, ns)
+            T = jnp.where(dense, T * att, T)
+            stop = dense & (T < opt.stop_thresh)
+            t = jnp.where(active, t + delta_t, t)
+            active = active & ~stop & (t < tmax_c)
+            return (t, T, t_buf, ns, active)
+
+        c = jax.lax.while_loop(cond, body, (t, T, t_buf, ns, active))
+        return c[2], c[3]
+
+    args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
+            tmin, tmax, miss)
+    if chunk_size and R % chunk_size == 0 and R > chunk_size:
+        n_chunks = R // chunk_size
+        args = tuple(a.reshape((n_chunks, chunk_size) + a.shape[1:])
+                     for a in args)
+        t_buf, ns = jax.lax.map(march_chunk, args)
+        return t_buf.reshape(R, S), ns.reshape(R)
+    return march_chunk(args)
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def reconstruct_samples(tree: N3Tree, dirs: jax.Array,
+                        vdirs: jax.Array,
+                        cen_world: jax.Array, t_buf: jax.Array,
+                        num_samples: jax.Array, grid_dim, min_position,
+                        pos_range, opt: RenderOptions):
+    """Rebuild full guided-sample rows + cluster ids from recorded t
+    (exact rt_core.cuh:514-549 math, vectorized over all slots)."""
+    R, S = t_buf.shape
+    d = dirs * tree.scale[None, :]
+    delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
+    d = d * delta_scale[:, None]
+    valid = jnp.arange(S)[None, :] < num_samples[:, None]
+    tz = t_buf[..., None] * d[:, None, :] / tree.scale[None, None, :]
+    z = jnp.linalg.norm(tz, axis=-1)                       # [R, S]
+    pos = cen_world[None, None, :] + dirs[:, None, :] * z[..., None]
+    cols = [z[..., None], pos]
+    if opt.need_viewdir:
+        # the recorded viewdir is the rodrigues-shifted direction
+        # (rt_core.cuh:530-533); sample positions use the true dir
+        cols.append(jnp.broadcast_to(vdirs[:, None, :], (R, S, 3)))
+    if opt.appearance_embedding != -1:
+        cols.append(jnp.full((R, S, 1), opt.appearance_embedding,
+                             jnp.float32))
+    samples = jnp.concatenate(cols, axis=-1)
+    samples = jnp.where(valid[..., None], samples, -1.0)
+    gd = grid_dim.astype(jnp.float32)
+    g1 = jnp.clip((pos[..., 1] - min_position[1]) / pos_range[1] * gd[0],
+                  0.0, gd[0] - 1.0).astype(jnp.int32)
+    g2 = jnp.clip((pos[..., 2] - min_position[2]) / pos_range[2] * gd[1],
+                  0.0, gd[1] - 1.0).astype(jnp.int32)
+    cluster_ids = g1 * grid_dim[1] + g2
+    return samples, cluster_ids
+
+
+def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
+                           opt: RenderOptions, chunk_size: int = 1 << 15):
+    """Leaf-map accelerated guided collection + MLP query.
+
+    Produces the same cache as :func:`collect_and_query` (no votes /
+    visit marks — the Viewer uses the exact path on refinement frames).
+    """
+    dirs, cen = screen2worlddir(
+        camera.width, camera.height, camera.fx, camera.fy,
+        camera.cx, camera.cy, jnp.asarray(camera.transform))
+    R = dirs.shape[0]
+    pad = (-R) % chunk_size if chunk_size else 0
+    dirs_p = dirs if not pad else jnp.concatenate(
+        [dirs, jnp.tile(dirs[-1:], (pad, 1))])
+    t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
+                               chunk_size=chunk_size)
+    t_buf, ns = t_buf[:R], ns[:R]
+    vd = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    samples, cluster_ids = reconstruct_samples(
+        tree, dirs, vd, cen, t_buf, ns,
+        jnp.asarray(model.grid_dim, jnp.int32),
+        jnp.asarray(model.min_position, jnp.float32),
+        jnp.asarray(model.range, jnp.float32), opt)
+    ns_np = np.asarray(ns)
+    samples_np = np.asarray(samples)
+    ids_np = np.asarray(cluster_ids)
+    S = samples_np.shape[1]
+    valid = np.arange(S)[None, :] < ns_np[:, None]
+    flat_idx = np.nonzero(valid.reshape(-1))[0]
+    flat_samples = samples_np.reshape(R * S, -1)[flat_idx]
+    flat_ids = ids_np.reshape(-1)[flat_idx]
+    res = model.query(flat_ids, flat_samples[:, 1:],
+                      opt.nerf_batch_size, 32)
+    out_dim = model.output_dim
+    padded = np.zeros((R * S, out_dim), np.float32)
+    padded[flat_idx] = np.asarray(res)
+    return dict(
+        results=jnp.asarray(padded.reshape(R, S, out_dim)),
+        z_vals=jnp.asarray(samples_np[..., 0]),
+        num_samples=jnp.asarray(ns_np),
+    )
+
+
+# ----------------------------------------------------------------------
 # Host orchestration used by the Viewer
 # ----------------------------------------------------------------------
 def collect_and_query(tree: N3Tree, model, camera, opt: RenderOptions,
@@ -281,15 +474,24 @@ def collect_and_query(tree: N3Tree, model, camera, opt: RenderOptions,
     return cache, rres
 
 
-def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache):
+def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
+                    use_pallas: bool = False):
     """Per-frame composite of cached MLP results
-    (reference render_nerf_results, renderer_kernel.cu:294-327)."""
+    (reference render_nerf_results, renderer_kernel.cu:294-327).
+    ``use_pallas`` routes through the fused Pallas kernel
+    (ops/pallas_composite.py, SH format only)."""
     dirs, cen = screen2worlddir(
         camera.width, camera.height, camera.fx, camera.fy,
         camera.cx, camera.cy, jnp.asarray(camera.transform))
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
-    out = composite_results(
-        cache["results"], cache["z_vals"], cache["num_samples"], vdirs,
-        opt, tree.data_format.basis_dim,
-        tree.data_format.format == "SH")
+    fmt_sh = tree.data_format.format == "SH"
+    if use_pallas and fmt_sh and tree.data_format.basis_dim >= 1:
+        from .pallas_composite import composite_results_pallas
+        out = composite_results_pallas(
+            cache["results"], cache["z_vals"], cache["num_samples"],
+            vdirs, opt, tree.data_format.basis_dim)
+    else:
+        out = composite_results(
+            cache["results"], cache["z_vals"], cache["num_samples"],
+            vdirs, opt, tree.data_format.basis_dim, fmt_sh)
     return out.reshape(camera.height, camera.width, 4)

@@ -52,6 +52,7 @@ class Viewer:
         self._guided_cache = None
         # leaf-map accelerated static-view path (ops/accel.py)
         self.use_fast_path = True
+        self.use_pallas_composite = False
         self.fast_max_dense = 32
         self.fast_chunk_size = 1 << 15
         self._leaf_map = None
@@ -260,16 +261,29 @@ class Viewer:
         from .ops import guided
         cam = self.camera
         opt = self.options
+        needs_votes = opt.use_splitting
         if not self._can_reuse_results or self._guided_cache is None:
             with self.timer.time("guided_sampling"):
-                cache, res = guided.collect_and_query(
-                    self.tree, self.model, cam, opt,
-                    track_visit=track_visit)
+                if (self.use_fast_path and not needs_votes
+                        and not track_visit):
+                    from .ops import accel
+                    if self._leaf_map is None:
+                        self._leaf_map = accel.build_leaf_map(self.tree)
+                    cache = guided.collect_and_query_fast(
+                        self.tree, self._leaf_map, self.model, cam, opt,
+                        chunk_size=self.fast_chunk_size)
+                    res = None
+                else:
+                    cache, res = guided.collect_and_query(
+                        self.tree, self.model, cam, opt,
+                        track_visit=track_visit)
             self._guided_cache = (cache, res)
             self._can_reuse_results = True
         cache, res = self._guided_cache
         with self.timer.time("nerf_composite"):
-            img = guided.composite_frame(self.tree, cam, opt, cache)
+            img = guided.composite_frame(
+                self.tree, cam, opt, cache,
+                use_pallas=self.use_pallas_composite)
         return img, res
 
     def _next_key(self):

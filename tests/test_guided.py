@@ -201,3 +201,43 @@ def test_collect_and_query_end_to_end():
     # MLP results for valid slots should be nonzero somewhere
     r = np.asarray(cache["results"])
     assert np.abs(r).max() > 0
+
+
+def test_fast_collection_matches_exact():
+    """Leaf-map t-recording collection == the exact collection march."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=1, depth=3)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1),
+        need_viewdir=True)
+    opt = RenderOptions(max_guided_samples=32, need_viewdir=True,
+                        rot_dirs=(0.1, -0.05, 0.2))
+    cam = Camera(10, 10, 14.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+
+    cache_exact, _ = guided.collect_and_query(tree, model, cam, opt)
+    cache_fast = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                               chunk_size=0)
+    np.testing.assert_array_equal(
+        np.asarray(cache_fast["num_samples"]),
+        np.asarray(cache_exact["num_samples"]))
+    ns = np.asarray(cache_exact["num_samples"])
+    S = np.asarray(cache_exact["z_vals"]).shape[1]
+    valid = np.arange(S)[None, :] < ns[:, None]
+    np.testing.assert_allclose(
+        np.asarray(cache_fast["z_vals"])[valid],
+        np.asarray(cache_exact["z_vals"])[valid], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cache_fast["results"])[valid],
+        np.asarray(cache_exact["results"])[valid], rtol=1e-4, atol=1e-4)
+    # composited frames agree
+    img_a = np.asarray(guided.composite_frame(tree, cam, opt, cache_exact))
+    img_b = np.asarray(guided.composite_frame(tree, cam, opt, cache_fast))
+    np.testing.assert_allclose(img_a, img_b, atol=1e-4)
+    # and through the Pallas compositor
+    img_c = np.asarray(guided.composite_frame(tree, cam, opt, cache_fast,
+                                              use_pallas=True))
+    np.testing.assert_allclose(img_c, img_b, atol=1e-4)
