@@ -170,7 +170,7 @@ class FastRenderResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt", "max_dense", "chunk_size"))
+    static_argnames=("opt", "max_dense", "chunk_size", "unroll"))
 def render_rays_fast(tree: N3Tree,
                      leaf_map: LeafMap,
                      dirs: jax.Array,
@@ -179,7 +179,8 @@ def render_rays_fast(tree: N3Tree,
                      opt: RenderOptions,
                      tmax_bg: Optional[jax.Array] = None,
                      max_dense: int = 64,
-                     chunk_size: int = 0) -> FastRenderResult:
+                     chunk_size: int = 0,
+                     unroll: int = 1) -> FastRenderResult:
     """Fast march: leaf-map lookup + deferred SH shading.
 
     Same output as :func:`render_rays` (bit-exact for N == 2 trees; see
@@ -234,12 +235,11 @@ def render_rays_fast(tree: N3Tree,
         stopped = jnp.zeros((r,), bool)
         overflow = jnp.zeros((r,), bool)
         active = ~miss_c & (t < tmax_c)
-        ridx = jnp.arange(r, dtype=jnp.int32)
 
         def cond(c):
             return jnp.any(c[-1])
 
-        def body(c):
+        def one_step(c):
             (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
              overflow, active) = c
             nsteps = nsteps + active
@@ -309,6 +309,13 @@ def render_rays_fast(tree: N3Tree,
             active = active & ~stop_now & (t < tmax_c)
             return (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
                     overflow, active)
+
+        def body(c):
+            # static unroll: several leaf steps per while iteration
+            # amortizes the loop's carry/cond overhead over more gathers
+            for _ in range(unroll):
+                c = one_step(c)
+            return c
 
         c = jax.lax.while_loop(
             cond, body,
@@ -403,7 +410,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       chunk_size: int = 65536,
                       block: int = 128,
                       step_hint: Optional[np.ndarray] = None,
-                      order: Optional[tuple] = None):
+                      order: Optional[tuple] = None,
+                      unroll: int = 1):
     """Full fast frame: reordered rays -> fast march -> composite.
 
     Ray ordering: by default rays are grouped into spatially coherent
@@ -440,12 +448,14 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
             vdirs_p = jnp.concatenate(
                 [vdirs_p, jnp.tile(vdirs_p[-1:], (pad, 1))], axis=0)
         res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
-                               max_dense=max_dense, chunk_size=chunk_size)
+                               max_dense=max_dense, chunk_size=chunk_size,
+                               unroll=unroll)
         out = jnp.take(res.out[:R], inv, axis=0)
         steps = jnp.take(res.steps[:R], inv, axis=0)
     else:
         res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
-                               max_dense=max_dense, chunk_size=0)
+                               max_dense=max_dense, chunk_size=0,
+                               unroll=unroll)
         out = res.out
         steps = res.steps
     img = composite_background(out, opt)

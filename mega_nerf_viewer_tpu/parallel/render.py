@@ -27,24 +27,20 @@ from ..ops.rays import screen2worlddir, rodrigues
 from .mesh import RAY_AXIS, default_mesh
 
 
-def render_rays_sharded(tree: N3Tree,
-                        dirs: jax.Array, vdirs: jax.Array,
-                        cen_world: jax.Array,
-                        opt: RenderOptions,
-                        mesh: Mesh,
-                        track_visit: bool = False,
-                        max_levels: int = DEFAULT_MAX_LEVELS) -> RenderResult:
-    """Shard the ray batch over ``mesh`` axis 'rays'.
-
-    R must be divisible by the axis size (pad upstream).
-    """
-    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
+@functools.lru_cache(maxsize=32)
+def _exact_sharded_program(mesh: Mesh, opt: RenderOptions,
+                           track_visit: bool, max_levels: int,
+                           tree_treedef):
+    tree_spec = jax.tree_util.tree_unflatten(
+        tree_treedef, [P()] * tree_treedef.num_leaves)
     other_axes = tuple(n for n in mesh.axis_names if n != RAY_AXIS)
 
+    @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(tree_spec, P(RAY_AXIS), P(RAY_AXIS), P()),
-        out_specs=RenderResult(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=RenderResult(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                               P()),
         check_vma=False)
     def _run(tree, dirs, vdirs, cen):
         res = render_rays(tree, dirs, vdirs, cen, opt,
@@ -55,7 +51,101 @@ def render_rays_sharded(tree: N3Tree,
         return RenderResult(res.out, res.split_vote, res.sample_vote,
                             visited)
 
-    return _run(tree, dirs, vdirs, cen_world)
+    return _run
+
+
+def render_rays_sharded(tree: N3Tree,
+                        dirs: jax.Array, vdirs: jax.Array,
+                        cen_world: jax.Array,
+                        opt: RenderOptions,
+                        mesh: Mesh,
+                        track_visit: bool = False,
+                        max_levels: int = DEFAULT_MAX_LEVELS) -> RenderResult:
+    """Shard the ray batch over ``mesh`` axis 'rays' (jitted program
+    cached per mesh/options — see _exact_sharded_program).
+
+    R must be divisible by the axis size (pad upstream).
+    """
+    run = _exact_sharded_program(mesh, opt, track_visit, max_levels,
+                                 jax.tree_util.tree_structure(tree))
+    return run(tree, dirs, vdirs, cen_world)
+
+
+@functools.lru_cache(maxsize=32)
+def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
+                          max_dense: int, chunk_size: int,
+                          tree_treedef, lm_treedef):
+    """Build + jit the sharded fast-march program once per
+    (mesh, options, shapes) — rebuilding the shard_map per frame would
+    re-trace and recompile every call."""
+    from ..ops.accel import render_rays_fast, FastRenderResult
+    tree_spec = jax.tree_util.tree_unflatten(
+        tree_treedef, [P()] * tree_treedef.num_leaves)
+    lm_spec = jax.tree_util.tree_unflatten(
+        lm_treedef, [P()] * lm_treedef.num_leaves)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=FastRenderResult(P(RAY_AXIS), P(), P(RAY_AXIS)),
+        check_vma=False)
+    def _run(tree, lm, dirs, vdirs, cen):
+        res = render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
+                               max_dense=max_dense,
+                               chunk_size=chunk_size)
+        overflow = jax.lax.pmax(res.overflow.astype(jnp.int32), RAY_AXIS)
+        other = tuple(n for n in mesh.axis_names if n != RAY_AXIS)
+        if other:
+            overflow = jax.lax.pmax(overflow, other)
+        return FastRenderResult(res.out, overflow.astype(bool), res.steps)
+
+    return _run
+
+
+def render_rays_fast_sharded(tree: N3Tree, leaf_map,
+                             dirs: jax.Array, vdirs: jax.Array,
+                             cen_world: jax.Array,
+                             opt: RenderOptions,
+                             mesh: Mesh,
+                             max_dense: int = 32,
+                             chunk_size: int = 0):
+    """Leaf-map fast march with rays sharded over the 'rays' mesh axis
+    (tree + leaf map replicated per chip — BASELINE config 5 layout)."""
+    run = _fast_sharded_program(
+        mesh, opt, max_dense, chunk_size,
+        jax.tree_util.tree_structure(tree),
+        jax.tree_util.tree_structure(leaf_map))
+    return run(tree, leaf_map, dirs, vdirs, cen_world)
+
+
+def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
+                              opt: RenderOptions,
+                              mesh: Optional[Mesh] = None,
+                              max_dense: int = 32,
+                              chunk_size: int = 0):
+    """Full sharded fast frame (4K orbit-batch layout).  Returns
+    ([H, W, 4] f32, overflow bool)."""
+    from ..ops.render import composite_background
+    if mesh is None:
+        mesh = default_mesh()
+    n_shards = mesh.shape[RAY_AXIS]
+    w, h = camera.width, camera.height
+    dirs, cen = screen2worlddir(w, h, camera.fx, camera.fy,
+                                camera.cx, camera.cy,
+                                jnp.asarray(camera.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    R = dirs.shape[0]
+    quantum = n_shards * max(chunk_size, 1)
+    pad = (-R) % quantum
+    if pad:
+        dirs = jnp.concatenate([dirs, jnp.tile(dirs[-1:], (pad, 1))])
+        vdirs = jnp.concatenate([vdirs, jnp.tile(vdirs[-1:], (pad, 1))])
+    res = render_rays_fast_sharded(tree, leaf_map, dirs, vdirs, cen,
+                                   opt, mesh, max_dense=max_dense,
+                                   chunk_size=chunk_size)
+    img = composite_background(res.out[:R], opt)
+    return img.reshape(h, w, 4), res.overflow
 
 
 def render_frame_sharded(tree: N3Tree, camera, opt: RenderOptions,

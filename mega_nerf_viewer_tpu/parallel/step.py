@@ -37,7 +37,6 @@ def make_frame_refine_step(mesh: Mesh, opt: RenderOptions):
     """Build the jitted step: (tree, params, model_meta, rays, key) ->
     (image_rgba [R,4], tree, visit_tracker, n_added)."""
 
-    tree_rep = None  # placeholder for closure clarity
 
     def step(tree: N3Tree, params: MLPParams, grid_dim, min_position,
              pos_range, dirs, vdirs, cen, visit_tracker, key):

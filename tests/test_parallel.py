@@ -136,3 +136,22 @@ def test_expand_jit_matches_host_policy():
     nodes = np.asarray(nodes)[np.asarray(valid)]
     got = np.stack([nodes // 8, nodes % 8], axis=1)
     np.testing.assert_array_equal(got, host)
+
+
+def test_fast_sharded_matches_single(eight_devices):
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=4, depth=3)
+    lm = accel.build_leaf_map(tree)
+    opt = RenderOptions(background_brightness=0.3)
+    cam = Camera(16, 16, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    mesh = parallel.make_mesh((8,), (parallel.RAY_AXIS,), eight_devices)
+    img, overflow = parallel.render_frame_fast_sharded(
+        tree, lm, cam, opt, mesh)
+    assert not bool(overflow)
+    lm2 = accel.build_leaf_map(tree)
+    img1, ov1, _ = accel.render_frame_fast(tree, lm2, cam, opt,
+                                           chunk_size=0)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img1),
+                               atol=1e-6)
