@@ -180,7 +180,13 @@ class Viewer:
                 and self.model is not None:
             self._expand_voxels(res)
 
-        if (self.max_tree_capacity - int(self.tree.capacity)
+        # Capacity-pressure prune (cuda_renderer.cpp:149-154).  The
+        # reference checks this unconditionally but over-allocates to 20M
+        # chunks by default so it only ever fires in refinement sessions;
+        # we gate on a refinable session (model present) so statically
+        # viewed trees whose arrays are sized to fit are never pruned.
+        if (self.model is not None
+                and self.max_tree_capacity - int(self.tree.capacity)
                 < opt.split_batch_size):
             self._prune()
             self._prune_happened = True

@@ -1,0 +1,119 @@
+"""utils: png, metrics, profiling, options parsing, cli edge cases."""
+
+import json
+import numpy as np
+import pytest
+
+from mega_nerf_viewer_tpu.utils import write_png, read_png, psnr
+from mega_nerf_viewer_tpu.utils.metrics import FpsCounter, FrameTimer
+from mega_nerf_viewer_tpu.utils.profiling import FrameStats
+from mega_nerf_viewer_tpu.options import RenderOptions, options_from_args
+
+
+def test_png_rgb_and_rgba(tmp_path, rng):
+    for c in (3, 4):
+        img = rng.randint(0, 256, (7, 5, c)).astype(np.uint8)
+        p = str(tmp_path / f"x{c}.png")
+        assert write_png(p, img)
+        back = read_png(p)
+        np.testing.assert_array_equal(back, img)
+
+
+def test_png_rejects_bad_input(tmp_path):
+    with pytest.raises(ValueError):
+        write_png(str(tmp_path / "bad.png"),
+                  np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(ValueError):
+        write_png(str(tmp_path / "bad.png"), np.zeros((4, 4), np.uint8))
+
+
+def test_psnr():
+    a = np.zeros((8, 8))
+    assert psnr(a, a) == float("inf")
+    b = a + 0.1
+    assert abs(psnr(a, b) - 20.0) < 1e-6
+
+
+def test_fps_counter():
+    f = FpsCounter(window=10.0)
+    assert f.fps == 0.0
+    for _ in range(5):
+        f.tick()
+    assert f.fps > 0
+
+
+def test_frame_timer():
+    t = FrameTimer()
+    with t.time("x"):
+        pass
+    assert t.mean_ms("x") >= 0
+    assert t.mean_ms("missing") == 0.0
+
+
+def test_frame_stats(tmp_path):
+    p = str(tmp_path / "stats.jsonl")
+    s = FrameStats(sink=p)
+    s.record(100, 50, 0.02, extra_field=7)
+    s.record(100, 50, 0.04)
+    summary = s.summary()
+    assert summary["frames"] == 2
+    assert 20.0 <= summary["p50_ms"] <= 40.0
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0]["extra_field"] == 7
+    assert abs(lines[0]["rays_per_sec"] - 100 * 50 / 0.02) < 1
+
+
+def test_options_from_args():
+    from mega_nerf_viewer_tpu.cli import build_parser
+    args = build_parser().parse_args(
+        ["t.npz", "--bg", "0.5", "-s", "1e-3", "-e", "0.05", "-a", "0.2",
+         "-x", "77", "-n", "99", "-v", "3", "-y", "2", "-z", "64",
+         "--grid", "3"])
+    opts = options_from_args(args)
+    assert opts.background_brightness == 0.5
+    assert opts.step_size == 1e-3
+    assert opts.stop_thresh == 0.05
+    assert opts.sigma_thresh == 0.2
+    assert opts.split_batch_size == 77
+    assert opts.nerf_batch_size == 99
+    assert opts.samples_per_corner == 3
+    assert opts.appearance_embedding == 2
+    assert opts.max_guided_samples == 64
+    assert opts.show_grid and opts.grid_max_depth == 3
+
+
+def test_cli_missing_file_friendly(capsys):
+    from mega_nerf_viewer_tpu.cli import main
+    rc = main(["/definitely/not/here.npz"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "does not exist" in err
+
+
+def test_cli_save_tree_roundtrip(tmp_path):
+    from mega_nerf_viewer_tpu.cli import main
+    from mega_nerf_viewer_tpu.n3tree import sphere_tree, N3Tree
+    t = sphere_tree(basis_dim=1, depth=2)
+    src = str(tmp_path / "in.npz")
+    t.save_npz(src)
+    out_tree = str(tmp_path / "out.npz")
+    rc = main([src, "-w", "8", "--height", "8", "--fx", "10",
+               "-o", str(tmp_path / "f.png"), "--save_tree", out_tree])
+    assert rc == 0
+    t2 = N3Tree.open(out_tree)
+    assert int(t2.capacity) == int(t.capacity)
+
+
+def test_cli_render_depth_and_bounds_only(tmp_path):
+    from mega_nerf_viewer_tpu.cli import main
+    from mega_nerf_viewer_tpu.n3tree import sphere_tree
+    from mega_nerf_viewer_tpu.utils import read_png
+    t = sphere_tree(basis_dim=1, depth=3)
+    src = str(tmp_path / "in.npz")
+    t.save_npz(src)
+    out = str(tmp_path / "d.png")
+    rc = main([src, "-w", "8", "--height", "8", "--fx", "10",
+               "--render_depth", "-b", "-o", out])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (8, 8, 4)
