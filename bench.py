@@ -39,17 +39,23 @@ def main():
     # First frame in spatial-block order yields per-ray march costs;
     # steady-state frames pack rays into uniform-cost tiles with them
     # (pixel-identical, pure perf — see accel.render_frame_fast).
-    img, overflow, steps = accel.render_frame_fast(
-        tree, leaf_map, cam, opt, max_dense=8, chunk_size=1 << 15,
-        block=64)
-    assert not bool(overflow), "dense-sample cap overflow; raise max_dense"
+    # The dense-sample cap escalates on overflow like the Viewer does.
+    max_dense = 8
+    while True:
+        img, overflow, steps = accel.render_frame_fast(
+            tree, leaf_map, cam, opt, max_dense=max_dense,
+            chunk_size=1 << 15, block=64)
+        if not bool(overflow):
+            break
+        max_dense *= 2
+        assert max_dense <= 128, "pathological dense-sample count"
     alpha = float(np.asarray(img)[..., 3].max())
     order = accel.order_from_steps(steps)
 
     def frame():
         img, overflow, _ = accel.render_frame_fast(
-            tree, leaf_map, cam, opt, max_dense=8, chunk_size=1 << 15,
-            order=order)
+            tree, leaf_map, cam, opt, max_dense=max_dense,
+            chunk_size=1 << 15, order=order)
         # fetch a checksum, not the 8 MB image: forces full device
         # computation without timing the host link (the axon tunnel
         # transfers ~35 MB/s and would dominate; production PCIe/DMA

@@ -1,0 +1,78 @@
+"""BASELINE config 4 analogue: guided ray sampling at 1080p.
+
+Measures the two phases the reference exposes (cuda_renderer.cpp:107-139):
+  * invalidation latency — collect guided samples + batched MLP queries
+    (the reference prints "Guided sampling finished in X ms"),
+  * steady-state composite rate — per-frame NeRF-results compositing of
+    the cached samples (XLA and Pallas kernels).
+
+Uses a synthetic Mega-NeRF-shaped model (256-wide MLP per cluster).
+Usage: python benchmarks/guided1080p.py [max_guided_samples]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.camera import Camera
+    from mega_nerf_viewer_tpu.options import RenderOptions
+    from mega_nerf_viewer_tpu.n3tree import shell_tree
+    from mega_nerf_viewer_tpu.models import MegaNeRFModel
+    from mega_nerf_viewer_tpu.ops import accel, guided
+
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    tree = shell_tree(depth=8, basis_dim=1, sigma_inside=400.0)
+    lm = accel.build_leaf_map(tree)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=8, hidden=256, n_layers=8,
+        grid_dim=(2, 4), min_position=(-1.5, -1.5, -1.5),
+        max_position=(1.5, 1.5, 1.5), need_viewdir=True)
+    opt = RenderOptions(max_guided_samples=S, need_viewdir=True,
+                        use_guided_sampling=True)
+    cam = Camera(1920, 1080, 1111.0)
+    cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
+    cam._update()
+
+    # warm compile
+    cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                          chunk_size=1 << 15)
+    t0 = time.perf_counter()
+    cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                          chunk_size=1 << 15)
+    invalidation_ms = (time.perf_counter() - t0) * 1000.0
+    n_samples = int(np.asarray(cache["num_samples"]).sum())
+
+    def comp(use_pallas):
+        img = guided.composite_frame(tree, cam, opt, cache,
+                                     use_pallas=use_pallas)
+        return float(img.sum())
+
+    results = {}
+    for name, up in (("composite_xla_ms", False),
+                     ("composite_pallas_ms", True)):
+        comp(up)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            comp(up)
+        results[name] = round((time.perf_counter() - t0) / 3 * 1000, 1)
+
+    print(json.dumps({
+        "metric": "guided_sampling_1080p",
+        "invalidation_ms": round(invalidation_ms, 1),
+        "mlp_samples": n_samples,
+        **results,
+        "max_guided_samples": S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

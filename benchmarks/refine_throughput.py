@@ -1,0 +1,88 @@
+"""BASELINE config 3 analogue: dynamic octree refinement throughput.
+
+Runs the fully-jitted expand step (device-side vote top-K + child
+allocation + MLP fill, ops/refine.expand_voxels_jit) repeatedly from
+fresh render votes and reports voxels split per second — the rate at
+which MLP-driven leaf expansion streams into the device tree.
+
+Usage: python benchmarks/refine_throughput.py [iterations]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.camera import Camera
+    from mega_nerf_viewer_tpu.options import RenderOptions
+    from mega_nerf_viewer_tpu.n3tree import shell_tree
+    from mega_nerf_viewer_tpu.models import MegaNeRFModel
+    from mega_nerf_viewer_tpu.ops import refine
+    from mega_nerf_viewer_tpu.ops.render import render_rays
+    from mega_nerf_viewer_tpu.ops.rays import screen2worlddir, rodrigues
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    tree = shell_tree(depth=7, basis_dim=1, sigma_inside=400.0,
+                      max_capacity=400000)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=8, hidden=256, n_layers=8,
+        grid_dim=(2, 4), min_position=(-1.5, -1.5, -1.5),
+        max_position=(1.5, 1.5, 1.5))
+    opt = RenderOptions(use_splitting=True, split_batch_size=4096,
+                        max_depth=16)
+    cam = Camera(512, 512, 600.0)
+    cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
+    cam._update()
+
+    dirs, cen = screen2worlddir(cam.width, cam.height, cam.fx, cam.fy,
+                                cam.cx, cam.cy,
+                                jnp.asarray(cam.transform))
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    tracker = jnp.zeros((tree.max_capacity,), jnp.int32).at[0].set(1)
+    key = jax.random.PRNGKey(0)
+    gd = jnp.asarray(model.grid_dim, jnp.int32)
+    mp = jnp.asarray(model.min_position, jnp.float32)
+    pr = jnp.asarray(model.range, jnp.float32)
+
+    # warm compile of both programs
+    res = render_rays(tree, dirs, vdirs, cen, opt)
+    t2, tracker, n0 = refine.expand_voxels_jit(
+        tree, model.params, gd, mp, pr, opt, res.split_vote, tracker,
+        key)
+    jax.block_until_ready(t2.capacity)
+
+    total_added = 0
+    t0 = time.perf_counter()
+    cur = tree
+    for i in range(iters):
+        res = render_rays(cur, dirs, vdirs, cen, opt)
+        key, sub = jax.random.split(key)
+        cur, tracker, n = refine.expand_voxels_jit(
+            cur, model.params, gd, mp, pr, opt, res.split_vote, tracker,
+            sub)
+        total_added += int(n)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "refine_throughput",
+        "splits_per_sec": round(total_added / dt, 1),
+        "voxels_filled_per_sec": round(total_added * 8 / dt, 1),
+        "mlp_evals_per_sec": round(
+            total_added * 8 * opt.samples_per_corner / dt, 1),
+        "iterations": iters,
+        "total_added": total_added,
+        "final_capacity": int(cur.capacity),
+    }))
+
+
+if __name__ == "__main__":
+    main()

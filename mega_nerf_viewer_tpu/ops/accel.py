@@ -75,20 +75,23 @@ def _f16_bits_to_f32(bits: jax.Array) -> jax.Array:
 
 
 def tree_max_depth(tree: N3Tree) -> int:
-    """Max leaf depth of the live tree (host-side, build time only)."""
+    """Max leaf depth of the live tree (host-side, build time only).
+
+    A chunk with a ancestors holds leaves at depth a+1 (the traversal's
+    depth counter, rt_core.cuh:129-158); parents may appear in any
+    array order after pruning, so walk iteratively.
+    """
     cap = int(tree.capacity)
     parent = np.asarray(tree.parent[:cap]) // tree.N3
-    depth = np.zeros(cap, np.int64)
-    # pointer jumping: parents may appear in any order post-prune
     cur = parent.copy()
-    d = np.ones(cap, np.int64)
+    ancestors = np.ones(cap, np.int64)
     for _ in range(64):
         at_root = cur == 0
         if at_root.all():
             break
-        d = d + (~at_root)
+        ancestors = ancestors + (~at_root)
         cur = parent[cur]
-    return int(d.max()) + 1  # chunks at depth d hold leaves at depth d+1?
+    return int(ancestors.max()) + 1
 
 
 @functools.partial(jax.jit, static_argnames=("level", "deep_levels"))
@@ -155,7 +158,7 @@ def build_leaf_map(tree: N3Tree, level: Optional[int] = None) -> LeafMap:
     (cheap: one batched descent over G^3 cells)."""
     max_d = tree_max_depth(tree)
     if level is None:
-        level = min(max_d, 8)
+        level = min(max_d, 9)
     deep = max(0, max_d - level)
     rows = _build_rows(tree, level, deep)
     return LeafMap(rows=rows, level=level, deep_levels=deep)

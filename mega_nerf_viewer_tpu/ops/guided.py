@@ -487,11 +487,16 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
     fmt_sh = tree.data_format.format == "SH"
     if use_pallas and fmt_sh and tree.data_format.basis_dim >= 1:
         from .pallas_composite import composite_results_pallas
-        out = composite_results_pallas(
-            cache["results"], cache["z_vals"], cache["num_samples"],
-            vdirs, opt, tree.data_format.basis_dim)
-    else:
-        out = composite_results(
-            cache["results"], cache["z_vals"], cache["num_samples"],
-            vdirs, opt, tree.data_format.basis_dim, fmt_sh)
+        try:
+            out = composite_results_pallas(
+                cache["results"], cache["z_vals"], cache["num_samples"],
+                vdirs, opt, tree.data_format.basis_dim)
+            return out.reshape(camera.height, camera.width, 4)
+        except Exception as e:   # pragma: no cover - backend-dependent
+            import warnings
+            warnings.warn(f"Pallas compositor unavailable ({e!r}); "
+                          "falling back to XLA")
+    out = composite_results(
+        cache["results"], cache["z_vals"], cache["num_samples"],
+        vdirs, opt, tree.data_format.basis_dim, fmt_sh)
     return out.reshape(camera.height, camera.width, 4)
