@@ -396,6 +396,12 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
 
     Produces the same cache as :func:`collect_and_query` (no votes /
     visit marks — the Viewer uses the exact path on refinement frames).
+
+    Only the compact ``(t_buf, num_samples)`` record crosses to the host
+    (the full padded [R, S, dim] sample tensor is ~8x larger and was the
+    dominant invalidation cost); sample rows and cluster ids are
+    reconstructed from ``t`` on the host over valid entries only — the
+    same rt_core.cuh:514-549 float32 math as :func:`reconstruct_samples`.
     """
     dirs, cen = screen2worlddir(
         camera.width, camera.height, camera.fx, camera.fy,
@@ -406,29 +412,43 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         [dirs, jnp.tile(dirs[-1:], (pad, 1))])
     t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
                                chunk_size=chunk_size)
-    t_buf, ns = t_buf[:R], ns[:R]
     vd = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
-    samples, cluster_ids = reconstruct_samples(
-        tree, dirs, vd, cen, t_buf, ns,
-        jnp.asarray(model.grid_dim, jnp.int32),
-        jnp.asarray(model.min_position, jnp.float32),
-        jnp.asarray(model.range, jnp.float32), opt)
-    ns_np = np.asarray(ns)
-    samples_np = np.asarray(samples)
-    ids_np = np.asarray(cluster_ids)
-    S = samples_np.shape[1]
+
+    t_np = np.asarray(t_buf)[:R]
+    ns_np = np.asarray(ns)[:R]
+    dirs_np = np.asarray(dirs, np.float32)
+    vd_np = np.asarray(vd, np.float32)
+    cen_np = np.asarray(cen, np.float32)
+    scale = np.asarray(tree.scale, np.float32)
+    S = t_np.shape[1]
+
     valid = np.arange(S)[None, :] < ns_np[:, None]
-    flat_idx = np.nonzero(valid.reshape(-1))[0]
-    flat_samples = samples_np.reshape(R * S, -1)[flat_idx]
-    flat_ids = ids_np.reshape(-1)[flat_idx]
-    res = model.query(flat_ids, flat_samples[:, 1:],
-                      opt.nerf_batch_size, 32)
+    ray_i, slot_i = np.nonzero(valid)
+    t_v = t_np[ray_i, slot_i]
+    # scaled-normalized direction (what t is measured along)
+    d = dirs_np * scale[None, :]
+    d = d / np.sqrt((d * d).sum(-1, keepdims=True, dtype=np.float32))
+    tz = (t_v[:, None] * d[ray_i]) / scale[None, :]
+    z_v = np.sqrt((tz * tz).sum(-1, dtype=np.float32)).astype(np.float32)
+    pos = cen_np[None, :] + dirs_np[ray_i] * z_v[:, None]
+    cols = [pos]
+    if opt.need_viewdir:
+        cols.append(vd_np[ray_i])
+    if opt.appearance_embedding != -1:
+        cols.append(np.full((len(ray_i), 1), opt.appearance_embedding,
+                            np.float32))
+    flat_samples = np.concatenate(cols, axis=-1)
+    flat_ids = model.cluster_ids_for_points(pos[:, 1:3])
+
+    res = model.query(flat_ids, flat_samples, opt.nerf_batch_size, 32)
     out_dim = model.output_dim
-    padded = np.zeros((R * S, out_dim), np.float32)
-    padded[flat_idx] = np.asarray(res)
+    results = np.zeros((R, S, out_dim), np.float32)
+    results[ray_i, slot_i] = np.asarray(res)
+    z_vals = np.full((R, S), -1.0, np.float32)
+    z_vals[ray_i, slot_i] = z_v
     return dict(
-        results=jnp.asarray(padded.reshape(R, S, out_dim)),
-        z_vals=jnp.asarray(samples_np[..., 0]),
+        results=jnp.asarray(results),
+        z_vals=jnp.asarray(z_vals),
         num_samples=jnp.asarray(ns_np),
     )
 
