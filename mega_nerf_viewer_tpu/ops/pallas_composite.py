@@ -30,10 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..options import RenderOptions
 from .sh import masked_sh_basis
 
-# Rows of rays per kernel instance.  8 is the register sublane count but
-# makes the grid huge at frame scale (260k steps at 1080p) — per-step
-# overhead dominates; 128 rows amortizes it.
-TILE = 128
+# Rows of rays per kernel instance (register sublane count).  At frame
+# scale the XLA compositor outperforms this kernel either way (see
+# PERFORMANCE.md) — it stays opt-in via Viewer.use_pallas_composite.
+TILE = 8
 
 
 def _prefix_prod(x: jax.Array, interpret: bool) -> jax.Array:
