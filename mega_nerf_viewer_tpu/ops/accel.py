@@ -169,11 +169,14 @@ class FastRenderResult(NamedTuple):
     overflow: jax.Array   # [] bool: some ray exceeded max_dense samples
     steps: jax.Array      # [R] i32 march iterations per ray (perf feedback
                           # for step-sorted ray ordering on later frames)
+    split_vote: jax.Array   # [R, 3] (need_votes=True) else zeros [0, 3]
+    sample_vote: jax.Array  # [R, 3] (need_votes=True) else zeros [0, 3]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt", "max_dense", "chunk_size", "unroll"))
+    static_argnames=("opt", "max_dense", "chunk_size", "unroll",
+                     "need_votes"))
 def render_rays_fast(tree: N3Tree,
                      leaf_map: LeafMap,
                      dirs: jax.Array,
@@ -183,11 +186,16 @@ def render_rays_fast(tree: N3Tree,
                      tmax_bg: Optional[jax.Array] = None,
                      max_dense: int = 64,
                      chunk_size: int = 0,
-                     unroll: int = 1) -> FastRenderResult:
+                     unroll: int = 1,
+                     need_votes: bool = False) -> FastRenderResult:
     """Fast march: leaf-map lookup + deferred SH shading.
 
     Same output as :func:`render_rays` (bit-exact for N == 2 trees; see
-    module docstring), no votes / visit marks.
+    module docstring).  ``need_votes=True`` additionally produces the
+    split/sample votes of rt_core.cuh:237-252/309-320 (identical to the
+    exact path; one extra sample-count gather per step) so refinement
+    frames can use the fast march too.  Visit marks are still exact-path
+    only (they need the full ancestor chain).
     """
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
@@ -198,6 +206,7 @@ def render_rays_fast(tree: N3Tree,
     rows_flat = leaf_map.rows
     child_flat = tree.child.reshape(-1)
     sigma_flat = tree.data.reshape(-1, data_dim)[:, data_dim - 1]
+    counts_flat = tree.sample_counts.reshape(-1)
 
     cen = tree.offset + tree.scale * cen_world
     d = dirs * tree.scale[None, :]
@@ -238,13 +247,21 @@ def render_rays_fast(tree: N3Tree,
         stopped = jnp.zeros((r,), bool)
         overflow = jnp.zeros((r,), bool)
         active = ~miss_c & (t < tmax_c)
+        sv0 = jnp.concatenate(
+            [jnp.full((r, 1), opt.max_depth + 1, jnp.float32),
+             jnp.full((r, 2), -1.0, jnp.float32)], axis=1)
+        pv0 = jnp.concatenate(
+            [jnp.full((r, 1), opt.max_sample_count + 1, jnp.float32),
+             jnp.full((r, 2), -1.0, jnp.float32)], axis=1)
+        votes0 = (sv0, pv0, jnp.full((r,), -1.0, jnp.float32),
+                  jnp.full((r,), -1.0, jnp.float32))
 
         def cond(c):
             return jnp.any(c[-1])
 
         def one_step(c):
             (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
-             overflow, active) = c
+             overflow, active, votes) = c
             nsteps = nsteps + active
             pos = cen_c + t[:, None] * d_c
             posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
@@ -295,6 +312,34 @@ def render_rays_fast(tree: N3Tree,
             att = jnp.exp(-delta_t * ds_c * sigma)
             weight = T * (1.0 - att)
 
+            if need_votes:
+                # vote logic identical to the exact march
+                # (ops/render.py; reference rt_core.cuh:237-252/309-320)
+                split_vote, sample_vote, max_w, max_sw = votes
+                sc = jnp.take(counts_flat, node,
+                              mode="clip").astype(jnp.int32)
+                can_split = depth < opt.max_depth
+                can_sample = sc < opt.max_sample_count
+                chunk_f = (node // N3).astype(jnp.float32)
+                cidx_f = (node % N3).astype(jnp.float32)
+                cols_s = jnp.stack(
+                    [depth.astype(jnp.float32), chunk_f, cidx_f], axis=-1)
+                cols_p = jnp.stack(
+                    [sc.astype(jnp.float32), chunk_f, cidx_f], axis=-1)
+                vs = active & can_split & jnp.where(
+                    dense, weight > max_w, max_w == -1.0)
+                vp = active & can_sample & jnp.where(
+                    dense, weight > max_sw, max_sw == -1.0)
+                split_vote = jnp.where(vs[:, None], cols_s, split_vote)
+                sample_vote = jnp.where(vp[:, None], cols_p, sample_vote)
+                max_w = jnp.where(
+                    active & dense & can_split & (weight > max_w),
+                    weight, max_w)
+                max_sw = jnp.where(
+                    active & dense & can_sample & (weight > max_sw),
+                    weight, max_sw)
+                votes = (split_vote, sample_vote, max_w, max_sw)
+
             can_rec = dense & (nd < max_dense)
             overflow = overflow | (dense & (nd >= max_dense))
             m = can_rec[:, None] & (nd[:, None] == srange[None, :])
@@ -311,7 +356,7 @@ def render_rays_fast(tree: N3Tree,
             t = jnp.where(active, t + delta_t, t)
             active = active & ~stop_now & (t < tmax_c)
             return (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
-                    overflow, active)
+                    overflow, active, votes)
 
         def body(c):
             # static unroll: several leaf steps per while iteration
@@ -320,12 +365,16 @@ def render_rays_fast(tree: N3Tree,
                 c = one_step(c)
             return c
 
+        def cond_votes(c):
+            return jnp.any(c[-2])
+
         c = jax.lax.while_loop(
-            cond, body,
+            cond_votes, body,
             (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped,
-             overflow, active))
+             overflow, active, votes0))
         (t, T, nodes_buf, w_buf, t_buf, nd, nsteps, stopped, overflow,
-         _) = c
+         _, votes) = c
+        split_vote, sample_vote = votes[0], votes[1]
 
         # ---- deferred shading (inside the chunk so the gathered
         # coefficient block stays small: [r, max_dense, D]) ----
@@ -359,7 +408,7 @@ def render_rays_fast(tree: N3Tree,
             alpha = jnp.where(stopped, 1.0,
                               jnp.where(miss_c, 0.0, 1.0 - T))
             out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
-        return out, jnp.any(overflow), nsteps
+        return out, jnp.any(overflow), nsteps, split_vote, sample_vote
 
     all_args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
                 tmin, tmax, miss, basis_all)
@@ -369,15 +418,22 @@ def render_rays_fast(tree: N3Tree,
         def reshape(a):
             return a.reshape((n_chunks, chunk_size) + a.shape[1:])
 
-        out, overflow, nsteps = jax.lax.map(
+        out, overflow, nsteps, split_vote, sample_vote = jax.lax.map(
             march_chunk, tuple(map(reshape, all_args)))
         out = out.reshape(R, 4)
         nsteps = nsteps.reshape(R)
+        split_vote = split_vote.reshape(R, 3)
+        sample_vote = sample_vote.reshape(R, 3)
         overflow = jnp.any(overflow)
     else:
-        out, overflow, nsteps = march_chunk(all_args)
+        out, overflow, nsteps, split_vote, sample_vote = march_chunk(
+            all_args)
 
-    return FastRenderResult(out, overflow, nsteps)
+    if not need_votes:
+        split_vote = jnp.zeros((0, 3), jnp.float32)
+        sample_vote = jnp.zeros((0, 3), jnp.float32)
+    return FastRenderResult(out, overflow, nsteps, split_vote,
+                            sample_vote)
 
 
 def block_permutation(width: int, height: int, block: int = 16):
@@ -414,7 +470,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       block: int = 128,
                       step_hint: Optional[np.ndarray] = None,
                       order: Optional[tuple] = None,
-                      unroll: int = 1):
+                      unroll: int = 1,
+                      need_votes: bool = False):
     """Full fast frame: reordered rays -> fast march -> composite.
 
     Ray ordering: by default rays are grouped into spatially coherent
@@ -426,7 +483,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     identical.
 
     Returns ([H, W, 4] f32, overflow bool, steps [H*W] i32 in pixel
-    order).
+    order); with ``need_votes=True`` additionally (split_vote [H*W, 3],
+    sample_vote [H*W, 3]) in pixel order.
     """
     from .render import composite_background
     w, h = camera.width, camera.height
@@ -452,14 +510,23 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                 [vdirs_p, jnp.tile(vdirs_p[-1:], (pad, 1))], axis=0)
         res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
                                max_dense=max_dense, chunk_size=chunk_size,
-                               unroll=unroll)
+                               unroll=unroll, need_votes=need_votes)
         out = jnp.take(res.out[:R], inv, axis=0)
         steps = jnp.take(res.steps[:R], inv, axis=0)
+        if need_votes:
+            split_vote = jnp.take(res.split_vote[:R], inv, axis=0)
+            sample_vote = jnp.take(res.sample_vote[:R], inv, axis=0)
     else:
         res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
                                max_dense=max_dense, chunk_size=0,
-                               unroll=unroll)
+                               unroll=unroll, need_votes=need_votes)
         out = res.out
         steps = res.steps
+        if need_votes:
+            split_vote = res.split_vote
+            sample_vote = res.sample_vote
     img = composite_background(out, opt)
+    if need_votes:
+        return (img.reshape(h, w, 4), res.overflow, steps, split_vote,
+                sample_vote)
     return img.reshape(h, w, 4), res.overflow, steps

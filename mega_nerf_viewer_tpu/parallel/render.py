@@ -88,7 +88,8 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(RAY_AXIS), P()),
-        out_specs=FastRenderResult(P(RAY_AXIS), P(), P(RAY_AXIS)),
+        out_specs=FastRenderResult(P(RAY_AXIS), P(), P(RAY_AXIS),
+                                   P(), P()),
         check_vma=False)
     def _run(tree, lm, dirs, vdirs, cen):
         res = render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
@@ -98,7 +99,9 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
         other = tuple(n for n in mesh.axis_names if n != RAY_AXIS)
         if other:
             overflow = jax.lax.pmax(overflow, other)
-        return FastRenderResult(res.out, overflow.astype(bool), res.steps)
+        return FastRenderResult(res.out, overflow.astype(bool),
+                                res.steps, res.split_vote,
+                                res.sample_vote)
 
     return _run
 

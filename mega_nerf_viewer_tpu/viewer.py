@@ -161,10 +161,11 @@ class Viewer:
         elif opt.show_grid:
             with self.timer.time("render"):
                 img, res = self._render_with_grid(track_visit)
-        elif self.use_fast_path and not needs_votes and not track_visit:
-            # leaf-map accelerated path (no votes / visit marks needed)
+        elif self.use_fast_path and not track_visit:
+            # leaf-map accelerated path (votes included when refining;
+            # only visit-tracking frames need the exact march)
             with self.timer.time("render"):
-                img = self._render_fast()
+                img, res = self._render_fast(need_votes=needs_votes)
         else:
             with self.timer.time("render"):
                 img, res = render_frame(
@@ -197,10 +198,12 @@ class Viewer:
         return np.asarray(img)
 
     # ------------------------------------------------------------------
-    def _render_fast(self):
+    def _render_fast(self, need_votes: bool = False):
         """Leaf-map accelerated frame; falls back to the exact renderer
-        when the dense-sample cap overflows."""
+        when the dense-sample cap overflows.  Returns (img, res) where
+        res carries split/sample votes when requested (else None)."""
         from .ops import accel
+        from .ops.render import RenderResult
         if self._leaf_map is None:
             with self.timer.time("leaf_map_build"):
                 self._leaf_map = accel.build_leaf_map(self.tree)
@@ -211,21 +214,30 @@ class Viewer:
         R = self.camera.width * self.camera.height
         if order is not None and order[0].shape[0] != R:
             order = None
-        img, overflow, steps = accel.render_frame_fast(
+        out = accel.render_frame_fast(
             self.tree, self._leaf_map, self.camera, self.options,
             max_dense=self.fast_max_dense,
             chunk_size=self.fast_chunk_size,
-            order=order)
+            order=order, need_votes=need_votes)
+        if need_votes:
+            img, overflow, steps, split_vote, sample_vote = out
+        else:
+            img, overflow, steps = out
         if order is None:
             self._ray_order = accel.order_from_steps(steps)
         if bool(overflow):
-            img, _ = render_frame(
+            img, res = render_frame(
                 self.tree, self.camera.width, self.camera.height,
                 self.camera.fx, self.camera.fy, self.camera.cx,
                 self.camera.cy, jnp.asarray(self.camera.transform),
                 self.options)
-            img = jnp.asarray(img)
-        return img
+            return jnp.asarray(img), res
+        if need_votes:
+            res = RenderResult(
+                out=None, split_vote=split_vote, sample_vote=sample_vote,
+                visited=None)
+            return img, res
+        return img, None
 
     def _render_with_grid(self, track_visit: bool):
         """Frame with the octree wireframe overlay: the rasterized line

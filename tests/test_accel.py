@@ -132,3 +132,26 @@ def test_block_permutation_inverse():
 def test_tree_max_depth():
     assert accel.tree_max_depth(sphere_tree(basis_dim=1, depth=3)) == 3
     assert accel.tree_max_depth(sphere_tree(basis_dim=1, depth=4)) == 4
+
+
+def test_fast_votes_match_exact():
+    """need_votes=True reproduces the exact march's split/sample votes."""
+    tree = sphere_tree(basis_dim=1, depth=3)
+    opt = RenderOptions(max_depth=4, max_sample_count=256)
+    cam = _cam(14, 14, 18.0)
+    lm = accel.build_leaf_map(tree)
+    dirs, vdirs, cen = _rays(cam, opt)
+    exact = render_rays(tree, dirs, vdirs, cen, opt)
+    fast = accel.render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
+                                  need_votes=True)
+    np.testing.assert_array_equal(np.asarray(fast.split_vote),
+                                  np.asarray(exact.split_vote))
+    np.testing.assert_array_equal(np.asarray(fast.sample_vote),
+                                  np.asarray(exact.sample_vote))
+    np.testing.assert_allclose(np.asarray(fast.out),
+                               np.asarray(exact.out), atol=1e-6)
+    # chunked variant too
+    fast2 = accel.render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
+                                   need_votes=True, chunk_size=49)
+    np.testing.assert_array_equal(np.asarray(fast2.split_vote),
+                                  np.asarray(exact.split_vote))
