@@ -161,9 +161,13 @@ class Viewer:
         elif opt.show_grid:
             with self.timer.time("render"):
                 img, res = self._render_with_grid(track_visit)
-        elif self.use_fast_path and not track_visit:
+        elif self.use_fast_path and not track_visit and (
+                self._leaf_map is not None or not needs_votes):
             # leaf-map accelerated path (votes included when refining;
-            # only visit-tracking frames need the exact march)
+            # only visit-tracking frames need the exact march).  During
+            # continuous splitting each expand invalidates the map, so
+            # refinement frames only go fast while the map is fresh —
+            # rebuilding it per frame would cost more than it saves.
             with self.timer.time("render"):
                 img, res = self._render_fast(need_votes=needs_votes)
         else:

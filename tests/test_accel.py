@@ -155,3 +155,70 @@ def test_fast_votes_match_exact():
                                    need_votes=True, chunk_size=49)
     np.testing.assert_array_equal(np.asarray(fast2.split_vote),
                                   np.asarray(exact.split_vote))
+
+
+def _oversubdivided_tree():
+    """Fully subdivided to depth 3 but dense only in a small ball —
+    the over-subdivided-empty-space case the turbo map targets."""
+    from mega_nerf_viewer_tpu.n3tree import build_host_tree, N3Tree
+
+    def depth_map(vc, d):
+        return d < 3
+
+    def data_fn(vc, size):
+        out = np.zeros(4, np.float32)
+        if np.linalg.norm(vc - 0.5) < 0.15:
+            out[-1] = 50.0
+            out[0] = 1.0
+        return out
+
+    host = build_host_tree(depth_map, data_fn, 4, 1)
+    return N3Tree.from_arrays(*host)
+
+
+def test_turbo_leaf_map_close_and_fewer_steps():
+    """Max-empty-cube map: near-identical image, fewer march steps."""
+    tree = _oversubdivided_tree()
+    opt = RenderOptions()
+    cam = _cam(20, 20, 26.0)
+    dirs, vdirs, cen = _rays(cam, opt)
+    lm = accel.build_leaf_map(tree)
+    turbo = accel.build_turbo_leaf_map(tree, sigma_thresh=opt.sigma_thresh)
+    exact = accel.render_rays_fast(tree, lm, dirs, vdirs, cen, opt)
+    fast = accel.render_rays_fast(tree, turbo, dirs, vdirs, cen, opt)
+    # drift bounded by skipped step_size epsilons (sub-1e-3)
+    np.testing.assert_allclose(np.asarray(fast.out),
+                               np.asarray(exact.out), atol=2e-3)
+    # over-subdivided empty space collapses into big cube steps
+    assert int(fast.steps.sum()) < 0.6 * int(exact.steps.sum())
+    # well-pruned trees are unchanged-or-better, never worse
+    t2 = sphere_tree(basis_dim=1, depth=4)
+    lm2 = accel.build_leaf_map(t2)
+    tb2 = accel.build_turbo_leaf_map(t2)
+    e2 = accel.render_rays_fast(t2, lm2, dirs, vdirs, cen, opt)
+    f2 = accel.render_rays_fast(t2, tb2, dirs, vdirs, cen, opt)
+    assert int(f2.steps.sum()) <= int(e2.steps.sum())
+    np.testing.assert_allclose(np.asarray(f2.out),
+                               np.asarray(e2.out), atol=2e-3)
+
+
+def test_turbo_map_occupied_depths_unchanged():
+    import jax.numpy as jnp
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lm = accel.build_leaf_map(tree)
+    turbo = accel.build_turbo_leaf_map(tree)
+    meta_a = np.asarray(lm.rows[:, 1])
+    meta_b = np.asarray(turbo.rows[:, 1])
+    sigma = np.asarray(accel._f16_bits_to_f32(
+        jnp.asarray((meta_a >> 16) & 0xFFFF)))
+    occupied = sigma > 1e-2
+    # occupied cells: identical meta; empty cells: depth can only shrink
+    np.testing.assert_array_equal(meta_a[occupied], meta_b[occupied])
+    d_a = meta_a & 31
+    d_b = meta_b & 31
+    assert np.all(d_b[~occupied] <= d_a[~occupied])
+    # non-depth bits preserved everywhere
+    np.testing.assert_array_equal(meta_a & ~np.int32(31),
+                                  meta_b & ~np.int32(31))
+    np.testing.assert_array_equal(np.asarray(lm.rows[:, 0]),
+                                  np.asarray(turbo.rows[:, 0]))
