@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the (possibly refined) tree back to npz")
     p.add_argument("--sharded", action="store_true",
                    help="shard rays across all local devices")
+    p.add_argument("--turbo", action="store_true",
+                   help="max-empty-cube accelerated marching "
+                        "(sub-1e-3 drift through empty space)")
     return p
 
 
@@ -126,6 +129,7 @@ def main(argv=None) -> int:
     camera._update()
 
     viewer = Viewer(camera=camera, options=options)
+    viewer.use_turbo_map = args.turbo
 
     if args.model_path:
         viewer.load_model(args.model_path)

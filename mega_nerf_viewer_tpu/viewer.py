@@ -53,6 +53,8 @@ class Viewer:
         # leaf-map accelerated static-view path (ops/accel.py)
         self.use_fast_path = True
         self.use_pallas_composite = False
+        # turbo: max-empty-cube leaf map (sub-1e-3 drift; see accel.py)
+        self.use_turbo_map = False
         self.fast_max_dense = 32
         self.fast_chunk_size = 1 << 15
         self._leaf_map = None
@@ -210,7 +212,12 @@ class Viewer:
         from .ops.render import RenderResult
         if self._leaf_map is None:
             with self.timer.time("leaf_map_build"):
-                self._leaf_map = accel.build_leaf_map(self.tree)
+                if self.use_turbo_map and not need_votes:
+                    self._leaf_map = accel.build_turbo_leaf_map(
+                        self.tree,
+                        sigma_thresh=self.options.sigma_thresh)
+                else:
+                    self._leaf_map = accel.build_leaf_map(self.tree)
         # frame-to-frame coherence: pack rays into uniform-cost tiles
         # using the last frame's per-ray march costs (order rebuilt only
         # when stale — argsort + index upload isn't free)

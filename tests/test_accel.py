@@ -222,3 +222,32 @@ def test_turbo_map_occupied_depths_unchanged():
                                   meta_b & ~np.int32(31))
     np.testing.assert_array_equal(np.asarray(lm.rows[:, 0]),
                                   np.asarray(turbo.rows[:, 0]))
+
+
+def test_fast_tmax_bg_parity():
+    """Background-depth bound (mesh composite input) in the fast path."""
+    import jax.numpy as jnp
+    tree = sphere_tree(basis_dim=1, depth=3)
+    opt = RenderOptions()
+    cam = _cam(10, 10, 14.0)
+    dirs, vdirs, cen = _rays(cam, opt)
+    lm = accel.build_leaf_map(tree)
+    tb = jnp.full((dirs.shape[0],), 2.2, jnp.float32)
+    exact = render_rays(tree, dirs, vdirs, cen, opt, tmax_bg=tb)
+    fast = accel.render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
+                                  tmax_bg=tb)
+    np.testing.assert_allclose(np.asarray(fast.out),
+                               np.asarray(exact.out), atol=1e-6)
+
+
+def test_viewer_turbo_flag():
+    from mega_nerf_viewer_tpu import Viewer, Camera, RenderOptions
+    tree = sphere_tree(basis_dim=1, depth=3)
+    cam = _cam(12, 12, 16.0)
+    v1 = Viewer(tree, camera=cam)
+    img1 = v1.render()
+    cam2 = _cam(12, 12, 16.0)
+    v2 = Viewer(tree, camera=cam2)
+    v2.use_turbo_map = True
+    img2 = v2.render()
+    np.testing.assert_allclose(img2, img1, atol=2e-3)

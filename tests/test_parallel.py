@@ -155,3 +155,16 @@ def test_fast_sharded_matches_single(eight_devices):
                                            chunk_size=0)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img1),
                                atol=1e-6)
+
+
+def test_cli_sharded_smoke(tmp_path, eight_devices):
+    from mega_nerf_viewer_tpu.cli import main
+    tree = sphere_tree(basis_dim=1, depth=2)
+    npz = str(tmp_path / "t.npz")
+    tree.save_npz(npz)
+    out = str(tmp_path / "s.png")
+    rc = main([npz, "-w", "16", "--height", "16", "--fx", "16",
+               "--center=-1.5,0.1,1.4", "--sharded", "-o", out])
+    assert rc == 0
+    from mega_nerf_viewer_tpu.utils import read_png
+    assert read_png(out).shape == (16, 16, 4)
