@@ -225,11 +225,20 @@ class Viewer:
         R = self.camera.width * self.camera.height
         if order is not None and order[0].shape[0] != R:
             order = None
-        out = accel.render_frame_fast(
-            self.tree, self._leaf_map, self.camera, self.options,
-            max_dense=self.fast_max_dense,
-            chunk_size=self.fast_chunk_size,
-            order=order, need_votes=need_votes)
+        # escalate the dense-sample cap on overflow before resorting to
+        # the (much slower) exact full-frame render
+        md = self.fast_max_dense
+        while True:
+            out = accel.render_frame_fast(
+                self.tree, self._leaf_map, self.camera, self.options,
+                max_dense=md,
+                chunk_size=self.fast_chunk_size,
+                order=order, need_votes=need_votes)
+            overflow = out[1]
+            if not bool(overflow) or md >= 128:
+                break
+            md *= 2
+            self.fast_max_dense = md
         if need_votes:
             img, overflow, steps, split_vote, sample_vote = out
         else:
