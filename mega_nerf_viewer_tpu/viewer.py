@@ -210,14 +210,26 @@ class Viewer:
         res carries split/sample votes when requested (else None)."""
         from .ops import accel
         from .ops.render import RenderResult
+        # a turbo map is only valid for sigma_thresh >= its build
+        # threshold (empty-cube safety is monotone upward, not downward)
+        # and carries no per-leaf identity for votes — rebuild when the
+        # configuration moved out of its validity envelope
+        turbo_thresh = getattr(self, "_leaf_map_turbo_thresh", None)
+        if self._leaf_map is not None and turbo_thresh is not None and (
+                self.options.sigma_thresh < turbo_thresh or need_votes
+                or not self.use_turbo_map):
+            self._leaf_map = None
         if self._leaf_map is None:
             with self.timer.time("leaf_map_build"):
                 if self.use_turbo_map and not need_votes:
                     self._leaf_map = accel.build_turbo_leaf_map(
                         self.tree,
                         sigma_thresh=self.options.sigma_thresh)
+                    self._leaf_map_turbo_thresh = \
+                        self.options.sigma_thresh
                 else:
                     self._leaf_map = accel.build_leaf_map(self.tree)
+                    self._leaf_map_turbo_thresh = None
         # frame-to-frame coherence: pack rays into uniform-cost tiles
         # using the last frame's per-ray march costs (order rebuilt only
         # when stale — argsort + index upload isn't free)

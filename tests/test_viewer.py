@@ -129,3 +129,24 @@ def test_cli_orbit_frames(tmp_path):
     import os
     assert os.path.exists(str(tmp_path / "orbit_0000.png"))
     assert os.path.exists(str(tmp_path / "orbit_0002.png"))
+
+
+def test_turbo_map_invalidated_on_lower_sigma_thresh():
+    """A turbo leaf map is only valid for sigma_thresh >= its build
+    threshold; lowering the slider must rebuild it."""
+    # small split batch so capacity-pressure pruning (which
+    # also clears the map) stays out of the picture
+    v = _viewer(sigma_thresh=0.5, split_batch_size=64)
+    v.use_turbo_map = True
+    v.render()
+    lm1 = v._leaf_map
+    assert v._leaf_map_turbo_thresh == 0.5
+    # raising the threshold keeps the map (still safe)
+    v.options = v.options.replace(sigma_thresh=0.8)
+    v.render()
+    assert v._leaf_map is lm1
+    # lowering it rebuilds
+    v.options = v.options.replace(sigma_thresh=0.01)
+    v.render()
+    assert v._leaf_map is not lm1
+    assert v._leaf_map_turbo_thresh == 0.01
