@@ -241,3 +241,29 @@ def test_fast_collection_matches_exact():
     img_c = np.asarray(guided.composite_frame(tree, cam, opt, cache_fast,
                                               use_pallas=True))
     np.testing.assert_allclose(img_c, img_b, atol=1e-4)
+
+
+def test_fast_collection_appearance_embedding():
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=1, depth=3)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1),
+        need_appearance_embedding=True)
+    opt = RenderOptions(max_guided_samples=16, appearance_embedding=3)
+    cam = Camera(8, 8, 12.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+    cache_exact, _ = guided.collect_and_query(tree, model, cam, opt)
+    cache_fast = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                               chunk_size=0)
+    np.testing.assert_array_equal(
+        np.asarray(cache_fast["num_samples"]),
+        np.asarray(cache_exact["num_samples"]))
+    ns = np.asarray(cache_exact["num_samples"])
+    S = np.asarray(cache_exact["z_vals"]).shape[1]
+    valid = np.arange(S)[None, :] < ns[:, None]
+    np.testing.assert_allclose(
+        np.asarray(cache_fast["results"])[valid],
+        np.asarray(cache_exact["results"])[valid], rtol=1e-4, atol=1e-4)

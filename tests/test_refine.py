@@ -197,3 +197,40 @@ def test_prune_nothing_to_prune():
     assert int(new_tree.capacity) == int(tree.capacity)
     np.testing.assert_array_equal(np.asarray(new_tree.child),
                                   np.asarray(tree.child))
+
+
+def test_expand_jit_topology_matches_host():
+    """Host and jitted expand produce identical topology from the same
+    votes (data differs only via RNG shapes)."""
+    tree = sphere_tree(basis_dim=1, depth=3, max_capacity=5000)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    opt = RenderOptions(use_splitting=True, split_batch_size=32)
+    cam = Camera(20, 20, 26.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    dirs, vdirs, cen = _rays(cam, opt)
+    res = render_rays(tree, dirs, vdirs, cen, opt)
+    tracker = jnp.zeros((tree.max_capacity,), jnp.int32).at[0].set(1)
+
+    t_host, tr_h, n_host = refine.expand_voxels(
+        tree, model, opt, res.split_vote, tracker,
+        key=jax.random.PRNGKey(7))
+    t_jit, tr_j, n_jit = refine.expand_voxels_jit(
+        tree, model.params,
+        jnp.asarray(model.grid_dim, jnp.int32),
+        jnp.asarray(model.min_position, jnp.float32),
+        jnp.asarray(model.range, jnp.float32),
+        opt, res.split_vote, tracker, jax.random.PRNGKey(7))
+    assert n_host == int(n_jit) > 0
+    cap = int(t_host.capacity)
+    assert int(t_jit.capacity) == cap
+    np.testing.assert_array_equal(np.asarray(t_host.child)[:cap],
+                                  np.asarray(t_jit.child)[:cap])
+    np.testing.assert_array_equal(np.asarray(t_host.parent)[:cap],
+                                  np.asarray(t_jit.parent)[:cap])
+    np.testing.assert_array_equal(
+        np.asarray(t_host.sample_counts)[:cap],
+        np.asarray(t_jit.sample_counts)[:cap])
+    _check_tree_invariants(t_jit)
