@@ -186,3 +186,18 @@ def test_fp16_required(tmp_path):
              data=np.asarray(t.data)[:cap].astype(np.float32))
     with pytest.raises(ValueError, match="half precision"):
         N3Tree.open(p)
+
+
+def test_open_corrupt_file(tmp_path):
+    p = str(tmp_path / "corrupt.npz")
+    with open(p, "wb") as f:
+        f.write(b"this is not a zip archive at all" * 10)
+    with pytest.raises(Exception):
+        N3Tree.open(p)
+
+
+def test_open_zip_missing_fields(tmp_path):
+    p = str(tmp_path / "partial.npz")
+    np.savez(p, data_dim=np.int64(4), data_format=np.str_("SH1"))
+    with pytest.raises(Exception):
+        N3Tree.open(p)

@@ -150,3 +150,35 @@ def test_turbo_map_invalidated_on_lower_sigma_thresh():
     v.render()
     assert v._leaf_map is not lm1
     assert v._leaf_map_turbo_thresh == 0.01
+
+
+def test_sustained_refinement_session():
+    """Multi-frame session: splitting grows the tree until capacity
+    pressure, prune reclaims, rendering stays finite throughout —
+    the reference's steady-state loop (main.cpp:603-616)."""
+    v = _viewer(depth=3, max_cap=400, w=12, h=12,
+                use_splitting=True, split_batch_size=16,
+                samples_per_corner=4)
+    caps = []
+    for f in range(8):
+        img = v.render()
+        assert np.isfinite(img).all()
+        caps.append(int(v.tree.capacity))
+        # orbit a little each frame like an interactive user
+        v.camera.begin_drag(0, 0, False, True)
+        v.camera.drag_update(1.5, 0.0)
+        v.camera.end_drag()
+    assert max(caps) > caps[0]          # growth happened
+    assert max(caps) <= 400             # never exceeded the budget
+    from mega_nerf_viewer_tpu.ops import refine
+    # final tree still structurally sound
+    cap = int(v.tree.capacity)
+    child = np.asarray(v.tree.child)[:cap]
+    parent = np.asarray(v.tree.parent)[:cap]
+    for c in range(cap):
+        for ci in range(8):
+            off = child[c, ci]
+            assert off >= 0
+            if off > 0:
+                assert c + off < cap
+                assert parent[c + off] == c * 8 + ci
