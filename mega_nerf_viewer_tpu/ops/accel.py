@@ -234,6 +234,30 @@ class FastRenderResult(NamedTuple):
     sample_vote: jax.Array  # [R, 3] (need_votes=True) else zeros [0, 3]
 
 
+DYN_FIELDS = ("step_size", "sigma_thresh", "stop_thresh")
+
+
+def dyn_knobs(opt: RenderOptions) -> jax.Array:
+    """Pack the continuous render knobs as a traced f32[9] vector:
+    [step_size, sigma_thresh, stop_thresh, render_bbox*6].  Passing this
+    (with a float-normalized static ``opt``) lets slider-style knob
+    changes reuse one compiled executable instead of recompiling per
+    value (RenderOptions is otherwise jit-static)."""
+    return jnp.asarray(
+        (opt.step_size, opt.sigma_thresh, opt.stop_thresh)
+        + tuple(opt.render_bbox), jnp.float32)
+
+
+def normalize_static(opt: RenderOptions) -> RenderOptions:
+    """Zero the float fields covered by :func:`dyn_knobs` (plus the
+    composite-time background and raygen-time rot_dirs, which their
+    consumers take as traced values) so the static jit key is identical
+    across knob values."""
+    return opt.replace(step_size=0.0, sigma_thresh=0.0, stop_thresh=0.0,
+                       background_brightness=0.0,
+                       render_bbox=(0.0,) * 6, rot_dirs=(0.0,) * 3)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("opt", "max_dense", "chunk_size", "unroll",
@@ -248,7 +272,8 @@ def render_rays_fast(tree: N3Tree,
                      max_dense: int = 64,
                      chunk_size: int = 0,
                      unroll: int = 1,
-                     need_votes: bool = False) -> FastRenderResult:
+                     need_votes: bool = False,
+                     dyn: Optional[jax.Array] = None) -> FastRenderResult:
     """Fast march: leaf-map lookup + deferred SH shading.
 
     Same output as :func:`render_rays` (bit-exact for N == 2 trees; see
@@ -269,6 +294,17 @@ def render_rays_fast(tree: N3Tree,
     sigma_flat = tree.data.reshape(-1, data_dim)[:, data_dim - 1]
     counts_flat = tree.sample_counts.reshape(-1)
 
+    if dyn is not None:
+        step_size = dyn[0]
+        sigma_thresh = dyn[1]
+        stop_thresh = dyn[2]
+        render_bbox = dyn[3:9]
+    else:
+        step_size = jnp.float32(opt.step_size)
+        sigma_thresh = jnp.float32(opt.sigma_thresh)
+        stop_thresh = jnp.float32(opt.stop_thresh)
+        render_bbox = opt.render_bbox
+
     cen = tree.offset + tree.scale * cen_world
     d = dirs * tree.scale[None, :]
     delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
@@ -277,7 +313,7 @@ def render_rays_fast(tree: N3Tree,
         tmax_bg = jnp.full((R,), 1e9, jnp.float32)
     tmax_bg = tmax_bg / delta_scale
     invdir = 1.0 / (d + jnp.float32(1e-9))
-    tmin, tmax = _dda_world_batch(cen, invdir, opt.render_bbox)
+    tmin, tmax = _dda_world_batch(cen, invdir, render_bbox)
     tmax = jnp.minimum(tmax, tmax_bg)
     miss = (tmax < 0) | (tmin > tmax)
 
@@ -368,8 +404,8 @@ def render_rays_fast(tree: N3Tree,
             u = posc * cube[:, None]
             frac = u - jnp.floor(u)
             t_subcube = _dda_unit_batch(frac, invdir_c) / cube
-            delta_t = t_subcube + jnp.float32(opt.step_size)
-            dense = active & (sigma > opt.sigma_thresh)
+            delta_t = t_subcube + step_size
+            dense = active & (sigma > sigma_thresh)
             att = jnp.exp(-delta_t * ds_c * sigma)
             weight = T * (1.0 - att)
 
@@ -412,7 +448,7 @@ def render_rays_fast(tree: N3Tree,
             nd = jnp.where(can_rec, nd + 1, nd)
 
             T = jnp.where(dense, T * att, T)
-            stop_now = dense & (T < opt.stop_thresh)
+            stop_now = dense & (T < stop_thresh)
             stopped = stopped | stop_now
             t = jnp.where(active, t + delta_t, t)
             active = active & ~stop_now & (t < tmax_c)
@@ -532,7 +568,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       step_hint: Optional[np.ndarray] = None,
                       order: Optional[tuple] = None,
                       unroll: int = 1,
-                      need_votes: bool = False):
+                      need_votes: bool = False,
+                      dynamic_knobs: bool = False):
     """Full fast frame: reordered rays -> fast march -> composite.
 
     Ray ordering: by default rays are grouped into spatially coherent
@@ -553,6 +590,15 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                                 camera.cx, camera.cy,
                                 jnp.asarray(camera.transform))
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    if dynamic_knobs:
+        # continuous knobs ride as traced values; the static jit key is
+        # float-normalized so slider changes don't recompile
+        dyn = dyn_knobs(opt)
+        bg_value = jnp.float32(opt.background_brightness)
+        opt = normalize_static(opt)
+    else:
+        dyn = None
+        bg_value = None
     R = w * h
     if chunk_size and R > chunk_size:
         if order is not None:
@@ -571,7 +617,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                 [vdirs_p, jnp.tile(vdirs_p[-1:], (pad, 1))], axis=0)
         res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
                                max_dense=max_dense, chunk_size=chunk_size,
-                               unroll=unroll, need_votes=need_votes)
+                               unroll=unroll, need_votes=need_votes,
+                               dyn=dyn)
         out = jnp.take(res.out[:R], inv, axis=0)
         steps = jnp.take(res.steps[:R], inv, axis=0)
         if need_votes:
@@ -580,13 +627,14 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     else:
         res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
                                max_dense=max_dense, chunk_size=0,
-                               unroll=unroll, need_votes=need_votes)
+                               unroll=unroll, need_votes=need_votes,
+                               dyn=dyn)
         out = res.out
         steps = res.steps
         if need_votes:
             split_vote = res.split_vote
             sample_vote = res.sample_vote
-    img = composite_background(out, opt)
+    img = composite_background(out, opt, bg_value=bg_value)
     if need_votes:
         return (img.reshape(h, w, 4), res.overflow, steps, split_vote,
                 sample_vote)

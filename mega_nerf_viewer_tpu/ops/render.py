@@ -281,15 +281,20 @@ def render_rays(tree: N3Tree,
 
 
 def composite_background(out: jax.Array, opt: RenderOptions,
-                         bg_rgb: Optional[jax.Array] = None) -> jax.Array:
+                         bg_rgb: Optional[jax.Array] = None,
+                         bg_value=None) -> jax.Array:
     """Offscreen background composite (renderer_kernel.cu:215-241):
     rgb += bg * (1 - alpha).  ``bg_rgb`` [R, 3] overrides the flat
-    background (the onscreen mesh-color path)."""
+    background (the onscreen mesh-color path); ``bg_value`` is a traced
+    scalar override of ``opt.background_brightness`` (dynamic-knob
+    mode)."""
     nalpha = 1.0 - out[:, 3:4]
-    if bg_rgb is None:
-        rgb = out[:, :3] + opt.background_brightness * nalpha
-    else:
+    if bg_rgb is not None:
         rgb = out[:, :3] + bg_rgb * nalpha
+    elif bg_value is not None:
+        rgb = out[:, :3] + bg_value * nalpha
+    else:
+        rgb = out[:, :3] + opt.background_brightness * nalpha
     return jnp.concatenate([rgb, out[:, 3:4]], axis=1)
 
 

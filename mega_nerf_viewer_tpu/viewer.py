@@ -52,6 +52,9 @@ class Viewer:
         self._guided_cache = None
         # leaf-map accelerated static-view path (ops/accel.py)
         self.use_fast_path = True
+        # traced continuous knobs: slider-style changes to step_size /
+        # thresholds / bbox / background reuse one compiled executable
+        self.use_dynamic_knobs = True
         self.use_pallas_composite = False
         # turbo: max-empty-cube leaf map (sub-1e-3 drift; see accel.py)
         self.use_turbo_map = False
@@ -245,7 +248,8 @@ class Viewer:
                 self.tree, self._leaf_map, self.camera, self.options,
                 max_dense=md,
                 chunk_size=self.fast_chunk_size,
-                order=order, need_votes=need_votes)
+                order=order, need_votes=need_votes,
+                dynamic_knobs=self.use_dynamic_knobs)
             overflow = out[1]
             if not bool(overflow) or md >= 128:
                 break

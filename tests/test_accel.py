@@ -251,3 +251,37 @@ def test_viewer_turbo_flag():
     v2.use_turbo_map = True
     img2 = v2.render()
     np.testing.assert_allclose(img2, img1, atol=2e-3)
+
+
+def test_dynamic_knobs_match_static():
+    """Traced continuous knobs produce the same pixels as static opts
+    and reuse one compiled executable across knob values."""
+    tree = sphere_tree(basis_dim=4, depth=3)
+    cam = _cam(16, 16, 20.0)
+    lm = accel.build_leaf_map(tree)
+    variants = [
+        RenderOptions(),
+        RenderOptions(step_size=5e-4, sigma_thresh=0.2, stop_thresh=0.05,
+                      background_brightness=0.4,
+                      render_bbox=(0.1, 0.0, 0.1, 0.95, 1.0, 0.9)),
+    ]
+    for opt in variants:
+        a, _, _ = accel.render_frame_fast(tree, lm, cam, opt,
+                                          chunk_size=0)
+        b, _, _ = accel.render_frame_fast(tree, lm, cam, opt,
+                                          chunk_size=0,
+                                          dynamic_knobs=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6)
+    # no recompile across knob values (shared float-normalized static key)
+    size_fn = getattr(accel.render_rays_fast, "_cache_size", None)
+    if size_fn is not None:
+        accel.render_frame_fast(tree, lm, cam,
+                                RenderOptions(sigma_thresh=0.03),
+                                chunk_size=0, dynamic_knobs=True)
+        n0 = size_fn()
+        for st in (0.07, 0.11, 0.123):
+            accel.render_frame_fast(tree, lm, cam,
+                                    RenderOptions(sigma_thresh=st),
+                                    chunk_size=0, dynamic_knobs=True)
+        assert size_fn() == n0
