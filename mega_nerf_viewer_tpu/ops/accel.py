@@ -585,11 +585,9 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     sample_vote [H*W, 3]) in pixel order.
     """
     from .render import composite_background
+    from .rays import screen2worlddir_indices
     w, h = camera.width, camera.height
-    dirs, cen = screen2worlddir(w, h, camera.fx, camera.fy,
-                                camera.cx, camera.cy,
-                                jnp.asarray(camera.transform))
-    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
     if dynamic_knobs:
         # continuous knobs ride as traced values; the static jit key is
         # float-normalized so slider changes don't recompile
@@ -607,14 +605,16 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
             perm, inv = order_from_steps(step_hint)
         else:
             perm, inv = block_permutation(w, h, block)
-        dirs_p = jnp.take(dirs, perm, axis=0)
-        vdirs_p = jnp.take(vdirs, perm, axis=0)
+        # generate rays directly in permuted order: arithmetic on the
+        # index array instead of gathering a pre-built [R, 3] array
+        # (gathers are the expensive op on TPU)
         pad = (-R) % chunk_size
-        if pad:
-            dirs_p = jnp.concatenate(
-                [dirs_p, jnp.tile(dirs_p[-1:], (pad, 1))], axis=0)
-            vdirs_p = jnp.concatenate(
-                [vdirs_p, jnp.tile(vdirs_p[-1:], (pad, 1))], axis=0)
+        pix = perm if not pad else jnp.concatenate(
+            [perm, jnp.broadcast_to(perm[-1:], (pad,))])
+        dirs_p, cen = screen2worlddir_indices(
+            pix, w, camera.fx, camera.fy, camera.cx, camera.cy,
+            jnp.asarray(camera.transform))
+        vdirs_p = rodrigues(rot_dirs, dirs_p)
         res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
                                max_dense=max_dense, chunk_size=chunk_size,
                                unroll=unroll, need_votes=need_votes,
@@ -625,6 +625,10 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
             split_vote = jnp.take(res.split_vote[:R], inv, axis=0)
             sample_vote = jnp.take(res.sample_vote[:R], inv, axis=0)
     else:
+        dirs, cen = screen2worlddir(w, h, camera.fx, camera.fy,
+                                    camera.cx, camera.cy,
+                                    jnp.asarray(camera.transform))
+        vdirs = rodrigues(rot_dirs, dirs)
         res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
                                max_dense=max_dense, chunk_size=0,
                                unroll=unroll, need_votes=need_votes,

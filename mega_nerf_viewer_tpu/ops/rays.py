@@ -45,6 +45,28 @@ def screen2worlddir(width: int, height: int,
     return world_dirs, cen
 
 
+def screen2worlddir_indices(pix: jnp.ndarray, width: int,
+                            fx, fy, cx, cy,
+                            transform: jnp.ndarray):
+    """Ray directions for an arbitrary pixel-index order.
+
+    Same math as :func:`screen2worlddir` but generates rays directly in
+    the order of flat pixel indices ``pix`` — used by the fast path to
+    produce cost-sorted ray batches arithmetically instead of gathering
+    a pre-generated [R, 3] array (TPU gathers are expensive; see
+    PERFORMANCE.md)."""
+    x = (pix % width).astype(jnp.float32)
+    y = (pix // width).astype(jnp.float32)
+    u = (x + 0.5 - cx) / fx
+    v = -(y + 0.5 - cy) / fy
+    cam_dirs = jnp.stack([u, v, -jnp.ones_like(u)], axis=-1)
+    rot = transform[:3, :]
+    world_dirs = cam_dirs @ rot
+    world_dirs = world_dirs / jnp.linalg.norm(
+        world_dirs, axis=-1, keepdims=True)
+    return world_dirs, transform[3, :]
+
+
 def rodrigues(aa, dirs: jnp.ndarray) -> jnp.ndarray:
     """Rotate ``dirs`` by the axis-angle vector ``aa`` (Rodrigues formula).
 
