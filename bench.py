@@ -63,7 +63,7 @@ def main():
         return float(img.sum())
 
     frame()  # compile the step-sorted ordering
-    n_frames = 5
+    n_frames = 10
     t0 = time.perf_counter()
     for _ in range(n_frames):
         csum = frame()
