@@ -66,6 +66,12 @@ def _lib():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.c_int]
             lib.nv_close.argtypes = [ctypes.c_void_p]
+            lib.nv_argsort_counts.restype = ctypes.c_int
+            lib.nv_argsort_counts.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
             lib.nv_vq_decode.argtypes = [
                 ctypes.POINTER(ctypes.c_uint16),
                 ctypes.POINTER(ctypes.c_uint16),
@@ -171,3 +177,24 @@ def vq_decode(quant_map: np.ndarray, quant_colors: np.ndarray,
             ctypes.POINTER(ctypes.c_uint16)),
         capacity, n3, data_dim, n_basis_q, n_retain, int(bug_compat))
     return data
+
+
+def argsort_counts(keys: np.ndarray, max_key: int = 1 << 20):
+    """Stable counting-sort argsort of small non-negative int keys.
+    Returns (perm, inv) int32 arrays; raises RuntimeError when the
+    native library is unavailable or keys are out of range."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    keys = np.ascontiguousarray(keys, np.int32)
+    n = keys.shape[0]
+    perm = np.empty(n, np.int32)
+    inv = np.empty(n, np.int32)
+    rc = lib.nv_argsort_counts(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        np.int32(max_key),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError("keys out of range for counting sort")
+    return perm, inv

@@ -361,4 +361,29 @@ void nv_vq_decode(uint16_t* data, const uint16_t* quant_map,
     for (auto& th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------
+// Stable counting-sort argsort for small non-negative keys (per-ray
+// march step counts: values ~0..4096).  Produces the cost-sorted ray
+// permutation and its inverse for the renderer's uniform-cost tiling
+// (ops/accel.order_from_steps) ~20x faster than a comparison argsort.
+// Returns 0 on success, -1 if a key is out of [0, max_key].
+// ---------------------------------------------------------------------
+int nv_argsort_counts(const int32_t* keys, int64_t n, int32_t max_key,
+                      int32_t* perm, int32_t* inv) {
+    if (max_key < 0 || max_key > (1 << 22)) return -1;
+    std::vector<int64_t> hist(static_cast<size_t>(max_key) + 2, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t k = keys[i];
+        if (k < 0 || k > max_key) return -1;
+        hist[k + 1]++;
+    }
+    for (size_t k = 1; k < hist.size(); ++k) hist[k] += hist[k - 1];
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t pos = hist[keys[i]]++;
+        perm[pos] = (int32_t)i;
+        inv[i] = (int32_t)pos;
+    }
+    return 0;
+}
+
 }  // extern "C"

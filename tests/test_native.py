@@ -74,3 +74,15 @@ def test_tree_open_uses_native(tmp_path):
     np.testing.assert_array_equal(np.asarray(t2.child)[:cap],
                                   np.asarray(t.child)[:cap])
     assert t2.data_format == t.data_format
+
+
+def test_argsort_counts_matches_numpy(rng):
+    keys = rng.randint(0, 500, 100000).astype(np.int32)
+    perm, inv = native.argsort_counts(keys)
+    want = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(perm, want)
+    np.testing.assert_array_equal(inv, np.argsort(want, kind="stable"))
+    # inverse property
+    np.testing.assert_array_equal(perm[inv], np.arange(len(keys)))
+    with pytest.raises(RuntimeError):
+        native.argsort_counts(np.array([-1, 2], np.int32))
