@@ -27,9 +27,9 @@ Exactness: for N == 2 the leaf found, its depth, the in-leaf fractional
 position (binary digit peel == frac(pos * 2^depth), exact in fp32) and
 sigma (same f16 bits) are identical to the reference descent, so step
 positions, weights and early termination match the exact renderer
-bit-for-bit.  The fast path does not produce split/sample votes or
-visit marks — the Viewer uses the exact path on refinement frames
-(votes need the sparse-branch bookkeeping of rt_core.cuh:308-320).
+bit-for-bit.  Split/sample votes are available via ``need_votes=True``
+(also bit-identical); only visit marks (the full ancestor chain of
+rt_core.cuh:133) still require the exact march.
 """
 
 from __future__ import annotations
