@@ -163,14 +163,17 @@ class N3Tree:
         else:
             npz = np.load(path, allow_pickle=False)
         host = load_npz_host(npz, vq_bug_compat=vq_bug_compat)
-        (data, child, parent, scale, offset, data_format) = host
+        (data, child, parent, scale, offset, data_format,
+         sample_counts) = host
         if bounds_only:
             data = data[:1]
             child = np.zeros_like(child[:1])
             parent = parent[:1]
+            if sample_counts is not None:
+                sample_counts = sample_counts[:1]
         return N3Tree.from_arrays(
             data, child, parent, scale, offset, data_format,
-            max_capacity=max_capacity)
+            sample_counts=sample_counts, max_capacity=max_capacity)
 
     # ------------------------------------------------------------------
     # Persistence (new capability: the reference never writes the refined
@@ -263,7 +266,12 @@ def load_npz_host(npz, vq_bug_compat: bool = True):
     """Decode an svox npz into host arrays.
 
     Returns (data f16, child i32 [cap, N^3], parent i32, scale f32[3],
-    offset f32[3], data_format).
+    offset f32[3], data_format, sample_counts i16 or None).
+    ``sample_counts`` is this package's checkpoint extension
+    (:meth:`N3Tree.save_npz`); reading it back keeps resumed refinement
+    sessions' incremental means correctly weighted.  Plain svox files
+    don't carry it (the reference initializes counts to 8,
+    ``n3tree.cpp:191-193``) — None defers to that default.
 
     Mirrors ``N3Tree::load_npz`` (``n3tree.cpp:28-205``):
       * ``invradius3`` (vector) or ``invradius`` (scalar) -> scale
@@ -313,7 +321,12 @@ def load_npz_host(npz, vq_bug_compat: bool = True):
         raise ValueError("data and parent sizes not aligned")
     if data.shape[0] != child.shape[0]:
         raise ValueError("data and child sizes not aligned")
-    return data, child, parent, scale, offset, data_format
+    sample_counts = None
+    if "sample_counts" in npz:
+        sc = np.asarray(npz["sample_counts"])
+        if sc.shape[0] == data.shape[0]:
+            sample_counts = sc.reshape(sc.shape[0], -1).astype(np.int16)
+    return data, child, parent, scale, offset, data_format, sample_counts
 
 
 def _decode_vq(npz, data_dim: int, n3: int, bug_compat: bool) -> np.ndarray:

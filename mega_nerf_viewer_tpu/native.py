@@ -65,6 +65,14 @@ def _lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.c_int]
+            try:
+                lib.nv_read_many_cap.restype = ctypes.c_int
+                lib.nv_read_many_cap.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+            except AttributeError:  # pragma: no cover - stale library
+                lib.nv_read_many_cap = None
             lib.nv_close.argtypes = [ctypes.c_void_p]
             lib.nv_argsort_counts.restype = ctypes.c_int
             lib.nv_argsort_counts.argtypes = [
@@ -130,7 +138,16 @@ def load_npz(path: str) -> Dict[str, np.ndarray]:
             idxs.append(i)
         idx_arr = (ctypes.c_int * n)(*idxs)
         ptr_arr = (ctypes.POINTER(ctypes.c_uint8) * n)(*ptrs)
-        if lib.nv_read_many(h, idx_arr, ptr_arr, n):
+        # pass each destination's capacity so a corrupt archive whose zip
+        # size exceeds the npy descr*shape geometry fails instead of
+        # overflowing the heap
+        cap_arr = (ctypes.c_int64 * n)(
+            *(buf.nbytes for _, _, buf, _, _ in arrays))
+        if getattr(lib, "nv_read_many_cap", None):
+            rc = lib.nv_read_many_cap(h, idx_arr, ptr_arr, cap_arr, n)
+        else:  # pragma: no cover - stale library
+            rc = lib.nv_read_many(h, idx_arr, ptr_arr, n)
+        if rc:
             raise RuntimeError(f"read failed: {lib.nv_error(h).decode()}")
         out = {}
         for kind, name, buf, shp, count in arrays:

@@ -155,7 +155,17 @@ def _build_rows(tree: N3Tree, level: int, deep_levels: int) -> jax.Array:
 
 def build_leaf_map(tree: N3Tree, level: Optional[int] = None) -> LeafMap:
     """Build the dense leaf map.  Rebuild after refinement/prune
-    (cheap: one batched descent over G^3 cells)."""
+    (cheap: one batched descent over G^3 cells).
+
+    N == 2 only: the binary grid/descent and the march's ``exp2`` depth
+    math assume a power-of-two cell lattice; other branching factors
+    must use the exact renderer (the reference itself warns N != 2
+    "probably doesn't work", n3tree.cpp:86).
+    """
+    if tree.N != 2:
+        raise ValueError(
+            f"leaf-map fast path supports N == 2 only (tree has N="
+            f"{tree.N}); use the exact renderer")
     max_d = tree_max_depth(tree)
     if level is None:
         level = min(max_d, 9)

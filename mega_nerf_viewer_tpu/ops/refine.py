@@ -403,8 +403,11 @@ def aggregate_split_votes_device(split_vote: jax.Array, N3: int,
     packed = (split_vote[:, 1].astype(jnp.int32) * N3
               + split_vote[:, 2].astype(jnp.int32))
     packed = jnp.where(valid_in, packed, -1)
-    uniq, counts = jnp.unique(packed, return_counts=True, size=K + 1,
-                              fill_value=-1)
+    # size must bound ALL possible unique nodes (= vote rows), not K+1:
+    # a smaller size makes jnp.unique keep the numerically-smallest ids,
+    # biasing selection to low node ids instead of top vote counts
+    uniq, counts = jnp.unique(packed, return_counts=True,
+                              size=packed.shape[0], fill_value=-1)
     # priority (= depth) of each unique node: gather from any voting ray
     first_ray = jnp.searchsorted(jnp.sort(packed), uniq)
     order_rays = jnp.argsort(packed)

@@ -166,7 +166,8 @@ class Viewer:
         elif opt.show_grid:
             with self.timer.time("render"):
                 img, res = self._render_with_grid(track_visit)
-        elif self.use_fast_path and not track_visit and (
+        elif self.use_fast_path and self.tree.N == 2 \
+                and not track_visit and (
                 self._leaf_map is not None or not needs_votes):
             # leaf-map accelerated path (votes included when refining;
             # only visit-tracking frames need the exact march).  During
@@ -187,7 +188,7 @@ class Viewer:
                                               res.visited)
 
         if opt.use_splitting and not cam.is_dragging() \
-                and self.model is not None:
+                and self.model is not None and res is not None:
             self._expand_voxels(res)
 
         # Capacity-pressure prune (cuda_renderer.cpp:149-154).  The
@@ -316,10 +317,17 @@ class Viewer:
         cam = self.camera
         opt = self.options
         needs_votes = opt.use_splitting
+        # a cache built by the vote-free fast collector (res=None) cannot
+        # serve a splitting frame: rebuild with votes when use_splitting
+        # was toggled on between frames (reference reuse frames always
+        # have the -1-filled trackers available, cuda_renderer.cpp:96-105)
+        if (needs_votes and self._guided_cache is not None
+                and self._guided_cache[1] is None):
+            self._can_reuse_results = False
         if not self._can_reuse_results or self._guided_cache is None:
             with self.timer.time("guided_sampling"):
-                if (self.use_fast_path and not needs_votes
-                        and not track_visit):
+                if (self.use_fast_path and self.tree.N == 2
+                        and not needs_votes and not track_visit):
                     from .ops import accel
                     if self._leaf_map is None:
                         self._leaf_map = accel.build_leaf_map(self.tree)

@@ -258,8 +258,11 @@ int nv_entry_info(void* h, int i, char* descr, int64_t* shape) {
 }
 
 // Reads the raw array payload of entry i into dst (caller-allocated,
-// uncomp_size - payload_off bytes).  Returns payload byte count or -1.
-int64_t nv_entry_read(void* h, int i, uint8_t* dst) {
+// dst_cap bytes).  Fails cleanly (-1) when the member's payload size
+// disagrees with the caller's npy-header-derived capacity — a corrupt
+// or malicious archive whose zip uncomp_size exceeds the descr*shape
+// geometry must not overflow the destination buffer.
+int64_t nv_entry_read_cap(void* h, int i, uint8_t* dst, int64_t dst_cap) {
     auto* a = (Archive*)h;
     if (i < 0 || i >= (int)a->entries.size()) return -1;
     Entry& e = a->entries[i];
@@ -267,16 +270,31 @@ int64_t nv_entry_read(void* h, int i, uint8_t* dst) {
     if (e.descr.empty() && !parse_npy_header(a, e, &err)) {
         a->error = err; return -1;
     }
+    if (e.payload_off > e.uncomp_size) {
+        a->error = "corrupt member: payload offset beyond member size";
+        return -1;
+    }
+    int64_t payload = (int64_t)(e.uncomp_size - e.payload_off);
+    if (dst_cap >= 0 && payload > dst_cap) {
+        a->error = "corrupt member: payload larger than npy geometry";
+        return -1;
+    }
     std::vector<uint8_t> full(e.uncomp_size);
     if (!read_member(a, e, full.data(), &err)) { a->error = err; return -1; }
-    int64_t payload = (int64_t)(e.uncomp_size - e.payload_off);
     memcpy(dst, full.data() + e.payload_off, payload);
     return payload;
 }
 
-// Read several entries in parallel: indices[k] -> dsts[k].
-// Returns 0 on success.
-int nv_read_many(void* h, const int* indices, uint8_t** dsts, int count) {
+// Unchecked legacy entry point (kept for ABI compatibility; callers that
+// size dst from nv_entry_info geometry should use nv_entry_read_cap).
+int64_t nv_entry_read(void* h, int i, uint8_t* dst) {
+    return nv_entry_read_cap(h, i, dst, -1);
+}
+
+// Read several entries in parallel: indices[k] -> dsts[k] (caps[k] bytes
+// each; caps may be null for unchecked reads).  Returns 0 on success.
+int nv_read_many_cap(void* h, const int* indices, uint8_t** dsts,
+                     const int64_t* caps, int count) {
     std::atomic<int> fail{0};
     unsigned n_threads = std::thread::hardware_concurrency();
     if (n_threads == 0) n_threads = 4;
@@ -288,12 +306,18 @@ int nv_read_many(void* h, const int* indices, uint8_t** dsts, int count) {
             for (;;) {
                 int k = next.fetch_add(1);
                 if (k >= count) break;
-                if (nv_entry_read(h, indices[k], dsts[k]) < 0) fail = 1;
+                int64_t cap = caps ? caps[k] : -1;
+                if (nv_entry_read_cap(h, indices[k], dsts[k], cap) < 0)
+                    fail = 1;
             }
         });
     }
     for (auto& th : ts) th.join();
     return fail.load();
+}
+
+int nv_read_many(void* h, const int* indices, uint8_t** dsts, int count) {
+    return nv_read_many_cap(h, indices, dsts, nullptr, count);
 }
 
 void nv_close(void* h) {

@@ -86,3 +86,23 @@ def test_argsort_counts_matches_numpy(rng):
     np.testing.assert_array_equal(perm[inv], np.arange(len(keys)))
     with pytest.raises(RuntimeError):
         native.argsort_counts(np.array([-1, 2], np.int32))
+
+
+def test_corrupt_oversized_payload_fails_cleanly(tmp_path):
+    """A member whose zip payload exceeds its npy descr*shape geometry
+    must raise, not overflow the destination buffer (nv_read_many_cap)."""
+    import pytest
+    from mega_nerf_viewer_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    p = str(tmp_path / "evil.npz")
+    np.savez(p, big=np.arange(4096, dtype=np.int64))
+    raw = bytearray(open(p, "rb").read())
+    # np.savez stores uncompressed: the npy header's shape tuple is raw
+    # bytes — shrink the declared shape so geometry < actual payload
+    idx = raw.find(b"(4096,)")
+    assert idx > 0
+    raw[idx:idx + 7] = b"(16,)  "
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(RuntimeError):
+        native.load_npz(p)

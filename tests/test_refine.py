@@ -234,3 +234,23 @@ def test_expand_jit_topology_matches_host():
         np.asarray(t_host.sample_counts)[:cap],
         np.asarray(t_jit.sample_counts)[:cap])
     _check_tree_invariants(t_jit)
+
+
+def test_device_vote_aggregation_not_biased_to_low_ids():
+    """Device top-K must select by vote count, not by node id
+    (regression: jnp.unique(size=K+1) kept the K+1 smallest ids)."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.ops.refine import (
+        aggregate_split_votes_device)
+    N3 = 8
+    K = 2
+    # many low-id nodes with 2 votes each, one HIGH-id node with 6 votes
+    rows = []
+    for chunk in range(1, 7):           # nodes 8..48, 2 votes each
+        rows += [[3.0, float(chunk), 0.0]] * 2
+    rows += [[3.0, 90.0, 5.0]] * 6      # node 725, 6 votes
+    votes = jnp.asarray(rows, jnp.float32)
+    nodes, _, valid = aggregate_split_votes_device(votes, N3, K)
+    got = set(int(n) for n, ok in zip(np.asarray(nodes),
+                                      np.asarray(valid)) if ok)
+    assert 90 * N3 + 5 in got

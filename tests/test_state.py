@@ -29,3 +29,23 @@ def test_save_load_state(tmp_path):
     img1 = v.render()
     img2 = v2.render()
     np.testing.assert_allclose(img1, img2, atol=1e-6)
+
+
+def test_sample_counts_roundtrip(tmp_path):
+    """save_npz writes sample_counts and open() reads them back, so
+    resumed refinement keeps incremental-mean weights (regression:
+    counts were silently reset to 8 on load)."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.n3tree import N3Tree
+    tree = sphere_tree(basis_dim=1, depth=2)
+    counts = np.asarray(tree.sample_counts).copy()
+    counts[0, :] = 41
+    tree = N3Tree(
+        data=tree.data, child=tree.child, parent=tree.parent,
+        sample_counts=jnp.asarray(counts), scale=tree.scale,
+        offset=tree.offset, capacity=tree.capacity, N=tree.N,
+        data_dim=tree.data_dim, data_format=tree.data_format)
+    p = str(tmp_path / "t.npz")
+    tree.save_npz(p)
+    t2 = N3Tree.open(p)
+    assert int(np.asarray(t2.sample_counts)[0, 0]) == 41

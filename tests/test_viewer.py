@@ -182,3 +182,39 @@ def test_sustained_refinement_session():
             if off > 0:
                 assert c + off < cap
                 assert parent[c + off] == c * 8 + ci
+
+
+def test_guided_cache_rebuilt_when_splitting_toggled_on():
+    """A guided cache built by the vote-free fast collector (res=None)
+    must be rebuilt with votes when 'M' toggles splitting on with an
+    unchanged camera (regression: _expand_voxels(None) crashed)."""
+    v = _viewer(use_guided_sampling=True, use_splitting=False,
+                split_batch_size=16, max_guided_samples=8)
+    v.render()                       # builds vote-free cache (res=None)
+    assert v._can_reuse_results
+    v.key_event("M")                 # toggle use_splitting on
+    cap0 = int(v.tree.capacity)
+    v.render()                       # must not crash; refines normally
+    assert int(v.tree.capacity) >= cap0
+
+
+def test_fast_path_gated_for_non_binary_tree():
+    """N != 2 trees must take the exact renderer (the leaf-map grid
+    assumes a binary lattice); build_leaf_map refuses them."""
+    import pytest
+    from mega_nerf_viewer_tpu.n3tree import N3Tree, DataFormat
+    from mega_nerf_viewer_tpu.ops import accel
+    n3 = 27
+    data = np.zeros((1, n3, 4), np.float16)
+    data[..., 3] = 5.0
+    tree = N3Tree.from_arrays(
+        data, np.zeros((1, n3), np.int32), np.zeros(1, np.int32),
+        np.ones(3, np.float32) * 0.5, np.full(3, 0.25, np.float32),
+        DataFormat("SH", 1))
+    with pytest.raises(ValueError):
+        accel.build_leaf_map(tree)
+    v = Viewer(tree, camera=Camera(8, 8, 10.0))
+    v.camera.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    img = v.render()                 # silently uses the exact path
+    assert img.shape == (8, 8, 4)
+    assert v._leaf_map is None
