@@ -32,30 +32,47 @@ def main():
     leaf_map = accel.build_leaf_map(tree)
 
     opt = RenderOptions()
+    # Pallas entry-skip prepass table (bit-identical pixels; see
+    # ops/pallas_march.py) — register-resident level-4 march through
+    # entry empty space, ~72% of all march steps on this fixture
+    from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
+    skip_table = build_skip_table(tree, opt.sigma_thresh)
     cam = Camera(width, height, 1111.0)
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
-    # First frame in spatial-block order yields per-ray march costs;
-    # steady-state frames pack rays into uniform-cost tiles with them
-    # (pixel-identical, pure perf — see accel.render_frame_fast).
-    # The dense-sample cap escalates on overflow like the Viewer does.
+    # First frame in spatial-block order yields per-ray march costs and
+    # record counts; steady-state frames sort rays by (records, steps)
+    # and render in segments whose deferred-shading budget matches what
+    # each ray class actually records (pixel-identical, pure perf — see
+    # accel.render_frame_fast_segmented).  Overflowing segments escalate.
     max_dense = 8
     while True:
-        img, overflow, steps = accel.render_frame_fast(
+        img, overflow, steps, nrec = accel.render_frame_fast(
             tree, leaf_map, cam, opt, max_dense=max_dense,
-            chunk_size=1 << 15, block=64)
+            chunk_size=1 << 15, block=64, return_nrec=True,
+            skip_table=skip_table)
         if not bool(overflow):
             break
         max_dense *= 2
         assert max_dense <= 128, "pathological dense-sample count"
     alpha = float(np.asarray(img)[..., 3].max())
-    order = accel.order_from_steps(steps)
+    order = accel.order_from_hints(steps, nrec)
+    segments = list(accel.DEFAULT_SEGMENTS)
 
     def frame():
-        img, overflow, _ = accel.render_frame_fast(
-            tree, leaf_map, cam, opt, max_dense=max_dense,
-            chunk_size=1 << 15, order=order)
+        while True:
+            img, seg_overflow = accel.render_frame_fast_segmented(
+                tree, leaf_map, cam, opt, order=order,
+                segments=tuple(segments), chunk_size=1 << 15,
+                skip_table=skip_table)
+            ov = np.asarray(seg_overflow)
+            if not ov.any():
+                break
+            for i, hit in enumerate(ov):
+                if hit:
+                    segments[i] = (segments[i][0], segments[i][1] * 2)
+                    assert segments[i][1] <= 128
         # fetch a checksum, not the 8 MB image: forces full device
         # computation without timing the host link (the axon tunnel
         # transfers ~35 MB/s and would dominate; production PCIe/DMA

@@ -242,6 +242,8 @@ class FastRenderResult(NamedTuple):
                           # for step-sorted ray ordering on later frames)
     split_vote: jax.Array   # [R, 3] (need_votes=True) else zeros [0, 3]
     sample_vote: jax.Array  # [R, 3] (need_votes=True) else zeros [0, 3]
+    nrec: jax.Array       # [R] i32 dense records per ray (drives the
+                          # record-sorted segmented shading budgets)
 
 
 DYN_FIELDS = ("step_size", "sigma_thresh", "stop_thresh")
@@ -283,7 +285,9 @@ def render_rays_fast(tree: N3Tree,
                      chunk_size: int = 0,
                      unroll: int = 1,
                      need_votes: bool = False,
-                     dyn: Optional[jax.Array] = None) -> FastRenderResult:
+                     dyn: Optional[jax.Array] = None,
+                     skip_table: Optional[jax.Array] = None
+                     ) -> FastRenderResult:
     """Fast march: leaf-map lookup + deferred SH shading.
 
     Same output as :func:`render_rays` (bit-exact for N == 2 trees; see
@@ -292,6 +296,14 @@ def render_rays_fast(tree: N3Tree,
     exact path; one extra sample-count gather per step) so refinement
     frames can use the fast march too.  Visit marks are still exact-path
     only (they need the full ancestor chain).
+
+    ``skip_table`` (from ops/pallas_march.build_skip_table, valid for
+    this ``sigma_thresh``) runs the Pallas entry-skip prepass first:
+    each ray's start ``t`` is advanced through entry empty space with
+    bit-identical step math before the gather-bound main march begins
+    (~72% of 1080p march steps on the shell benchmark).  Not for
+    ``need_votes`` frames (the reference's fallback vote inspects empty
+    leaves; see pallas_march docstring).
     """
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
@@ -326,6 +338,10 @@ def render_rays_fast(tree: N3Tree,
     tmin, tmax = _dda_world_batch(cen, invdir, render_bbox)
     tmax = jnp.minimum(tmax, tmax_bg)
     miss = (tmax < 0) | (tmin > tmax)
+    if skip_table is not None:
+        from .pallas_march import entry_skip_prepass
+        tmin = entry_skip_prepass(skip_table, cen, d, invdir,
+                                  tmin, tmax, ~miss, step_size)
 
     if use_sh and not opt.render_depth:
         basis_all = masked_sh_basis(basis_dim, vdirs,
@@ -515,7 +531,7 @@ def render_rays_fast(tree: N3Tree,
             alpha = jnp.where(stopped, 1.0,
                               jnp.where(miss_c, 0.0, 1.0 - T))
             out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
-        return out, jnp.any(overflow), nsteps, split_vote, sample_vote
+        return out, jnp.any(overflow), nsteps, split_vote, sample_vote, nd
 
     all_args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
                 tmin, tmax, miss, basis_all)
@@ -525,22 +541,23 @@ def render_rays_fast(tree: N3Tree,
         def reshape(a):
             return a.reshape((n_chunks, chunk_size) + a.shape[1:])
 
-        out, overflow, nsteps, split_vote, sample_vote = jax.lax.map(
+        out, overflow, nsteps, split_vote, sample_vote, nrec = jax.lax.map(
             march_chunk, tuple(map(reshape, all_args)))
         out = out.reshape(R, 4)
         nsteps = nsteps.reshape(R)
         split_vote = split_vote.reshape(R, 3)
         sample_vote = sample_vote.reshape(R, 3)
+        nrec = nrec.reshape(R)
         overflow = jnp.any(overflow)
     else:
-        out, overflow, nsteps, split_vote, sample_vote = march_chunk(
+        out, overflow, nsteps, split_vote, sample_vote, nrec = march_chunk(
             all_args)
 
     if not need_votes:
         split_vote = jnp.zeros((0, 3), jnp.float32)
         sample_vote = jnp.zeros((0, 3), jnp.float32)
     return FastRenderResult(out, overflow, nsteps, split_vote,
-                            sample_vote)
+                            sample_vote, nrec)
 
 
 def block_permutation(width: int, height: int, block: int = 16):
@@ -560,15 +577,10 @@ def block_permutation(width: int, height: int, block: int = 16):
     return jnp.asarray(perm, jnp.int32), jnp.asarray(inv, jnp.int32)
 
 
-def order_from_steps(steps) -> tuple:
-    """Build a (perm, inv) ray ordering from per-ray march costs (the
-    ``steps`` output of a previous frame).  Compute once per camera
-    move, not per frame — the argsort and host->device upload of two
-    [H*W] index arrays are not free.  Uses the native counting-sort
-    argsort when built (step counts are small non-negative ints;
-    ~20x faster than numpy's comparison sort at 2M rays)."""
+def _argsort_small_keys(keys: np.ndarray) -> tuple:
+    """(perm, inv) stable argsort of small non-negative int keys; native
+    counting sort when built (~20x faster than numpy at 2M rays)."""
     from .. import native
-    keys = np.asarray(steps)
     if native.available():
         try:
             perm_np, inv_np = native.argsort_counts(keys)
@@ -581,6 +593,35 @@ def order_from_steps(steps) -> tuple:
             jnp.asarray(np.argsort(perm_np, kind="stable"), jnp.int32))
 
 
+def order_from_steps(steps) -> tuple:
+    """Build a (perm, inv) ray ordering from per-ray march costs (the
+    ``steps`` output of a previous frame).  Compute once per camera
+    move, not per frame — the argsort and host->device upload of two
+    [H*W] index arrays are not free."""
+    return _argsort_small_keys(np.asarray(steps))
+
+
+def order_from_hints(steps, nrec) -> tuple:
+    """(perm, inv) ordering for the SEGMENTED fast path: primary key =
+    dense-record count (heavy recorders cluster in the tail chunks,
+    where the large ``max_dense`` segment lives), secondary = march step
+    count (uniform-cost march tiles within each record class)."""
+    steps = np.asarray(steps)
+    nrec = np.asarray(nrec)
+    key = (np.minimum(nrec, 255).astype(np.int32) << 12) \
+        | np.minimum(steps, 4095).astype(np.int32)
+    return _argsort_small_keys(key)
+
+
+# Per-segment (ray fraction, max_dense) budgets for record-sorted frames.
+# Measured on the 1080p shell benchmark: 52% of rays record nothing,
+# 94% record <= 2, max 7 — so most rays pay a [r, 1..2, D] deferred
+# shading gather instead of [r, 8, D] (padding was ~10x the valid rows,
+# ~370 of 588 ms/frame).  Any overflowing segment is escalated by the
+# caller (Viewer/bench double its max_dense and re-render).
+DEFAULT_SEGMENTS = ((0.5, 1), (0.375, 2), (0.125, 8))
+
+
 def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       camera, opt: RenderOptions,
                       max_dense: int = 64,
@@ -590,7 +631,9 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       order: Optional[tuple] = None,
                       unroll: int = 1,
                       need_votes: bool = False,
-                      dynamic_knobs: bool = False):
+                      dynamic_knobs: bool = False,
+                      return_nrec: bool = False,
+                      skip_table: Optional[jax.Array] = None):
     """Full fast frame: reordered rays -> fast march -> composite.
 
     Ray ordering: by default rays are grouped into spatially coherent
@@ -603,7 +646,9 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
 
     Returns ([H, W, 4] f32, overflow bool, steps [H*W] i32 in pixel
     order); with ``need_votes=True`` additionally (split_vote [H*W, 3],
-    sample_vote [H*W, 3]) in pixel order.
+    sample_vote [H*W, 3]); with ``return_nrec=True`` additionally the
+    per-ray dense-record counts (for :func:`order_from_hints` /
+    segmented steady-state frames) — all in pixel order.
     """
     from .render import composite_background
     from .rays import screen2worlddir_indices
@@ -639,9 +684,11 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
         res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
                                max_dense=max_dense, chunk_size=chunk_size,
                                unroll=unroll, need_votes=need_votes,
-                               dyn=dyn)
+                               dyn=dyn, skip_table=skip_table)
         out = jnp.take(res.out[:R], inv, axis=0)
         steps = jnp.take(res.steps[:R], inv, axis=0)
+        if return_nrec:
+            nrec = jnp.take(res.nrec[:R], inv, axis=0)
         if need_votes:
             split_vote = jnp.take(res.split_vote[:R], inv, axis=0)
             sample_vote = jnp.take(res.sample_vote[:R], inv, axis=0)
@@ -653,14 +700,119 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
         res = render_rays_fast(tree, leaf_map, dirs, vdirs, cen, opt,
                                max_dense=max_dense, chunk_size=0,
                                unroll=unroll, need_votes=need_votes,
-                               dyn=dyn)
+                               dyn=dyn, skip_table=skip_table)
         out = res.out
         steps = res.steps
+        if return_nrec:
+            nrec = res.nrec
         if need_votes:
             split_vote = res.split_vote
             sample_vote = res.sample_vote
     img = composite_background(out, opt, bg_value=bg_value)
+    ret = [img.reshape(h, w, 4), res.overflow, steps]
     if need_votes:
-        return (img.reshape(h, w, 4), res.overflow, steps, split_vote,
+        ret += [split_vote, sample_vote]
+    if return_nrec:
+        ret.append(nrec)
+    return tuple(ret)
+
+
+def segment_chunks(n_chunks: int, segments) -> tuple:
+    """Resolve (fraction, max_dense) segments into whole-chunk counts.
+    The last segment absorbs rounding remainder; every segment gets at
+    least one chunk."""
+    counts = []
+    used = 0
+    for i, (frac, md) in enumerate(segments):
+        if i == len(segments) - 1:
+            c = n_chunks - used
+        else:
+            c = max(1, round(frac * n_chunks))
+            c = min(c, n_chunks - used - (len(segments) - 1 - i))
+        counts.append((c, md))
+        used += c
+    return tuple(counts)
+
+
+def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
+                                camera, opt: RenderOptions,
+                                order: tuple,
+                                segments=DEFAULT_SEGMENTS,
+                                chunk_size: int = 1 << 15,
+                                unroll: int = 1,
+                                need_votes: bool = False,
+                                dynamic_knobs: bool = False,
+                                skip_table: Optional[jax.Array] = None):
+    """Record-sorted segmented fast frame.
+
+    ``order`` must come from :func:`order_from_hints` (rays sorted by
+    last frame's dense-record count): each contiguous ray segment then
+    gets its own ``max_dense`` budget, so the deferred-shading
+    coefficient gather is sized to what rays actually record instead of
+    a frame-wide worst case.  Pixels are bit-identical to the
+    unsegmented path — segmentation only partitions rays, and any
+    ray exceeding its segment's budget raises that segment's overflow
+    flag so the caller can escalate (double the budget and re-render).
+
+    Returns (img [H, W, 4], seg_overflow bool [n_segments],
+    [split_vote, sample_vote] when need_votes) — votes in pixel order.
+    """
+    from .render import composite_background
+    from .rays import screen2worlddir_indices
+    w, h = camera.width, camera.height
+    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
+    if dynamic_knobs:
+        dyn = dyn_knobs(opt)
+        bg_value = jnp.float32(opt.background_brightness)
+        opt = normalize_static(opt)
+    else:
+        dyn = None
+        bg_value = None
+    R = w * h
+    perm, inv = order
+    pad = (-R) % chunk_size
+    pix = perm if not pad else jnp.concatenate(
+        [perm, jnp.broadcast_to(perm[-1:], (pad,))])
+    n_chunks = pix.shape[0] // chunk_size
+    if n_chunks < len(segments):
+        res = render_frame_fast(
+            tree, leaf_map, camera, opt,
+            max_dense=max(md for _, md in segments),
+            chunk_size=chunk_size, order=order, unroll=unroll,
+            need_votes=need_votes, dynamic_knobs=dynamic_knobs,
+            skip_table=skip_table)
+        img, overflow = res[0], res[1]
+        ov = jnp.broadcast_to(overflow, (len(segments),))
+        return ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
+
+    dirs_p, cen = screen2worlddir_indices(
+        pix, w, camera.fx, camera.fy, camera.cx, camera.cy,
+        jnp.asarray(camera.transform))
+    vdirs_p = rodrigues(rot_dirs, dirs_p)
+
+    outs, ovs, svs, pvs = [], [], [], []
+    off = 0
+    for c_chunks, md in segment_chunks(n_chunks, segments):
+        n = c_chunks * chunk_size
+        sl = slice(off, off + n)
+        res = render_rays_fast(
+            tree, leaf_map, dirs_p[sl], vdirs_p[sl], cen, opt,
+            max_dense=md, chunk_size=chunk_size if c_chunks > 1 else 0,
+            unroll=unroll, need_votes=need_votes, dyn=dyn,
+            skip_table=skip_table)
+        outs.append(res.out)
+        ovs.append(res.overflow)
+        if need_votes:
+            svs.append(res.split_vote)
+            pvs.append(res.sample_vote)
+        off += n
+    out = jnp.concatenate(outs, axis=0)
+    out = jnp.take(out[:R], inv, axis=0)
+    img = composite_background(out, opt, bg_value=bg_value)
+    seg_overflow = jnp.stack(ovs)
+    if need_votes:
+        split_vote = jnp.take(jnp.concatenate(svs, 0)[:R], inv, axis=0)
+        sample_vote = jnp.take(jnp.concatenate(pvs, 0)[:R], inv, axis=0)
+        return (img.reshape(h, w, 4), seg_overflow, split_vote,
                 sample_vote)
-    return img.reshape(h, w, 4), res.overflow, steps
+    return img.reshape(h, w, 4), seg_overflow

@@ -1,0 +1,224 @@
+"""Pallas entry-skip prepass: register-resident top-of-tree march.
+
+The round-1/2 measurements pinned the fast march's cost to the XLA
+gather op itself (~11-14 ns/row on v5e, independent of table size,
+width and batch), and showed that on a 1080p Mill-19-style frame ~72%
+of all march steps cross *entry empty space* — shallow (depth <= 4)
+empty leaves between the ray's bbox entry and its first dense sample.
+Those steps do no shading work; their only output is the exact ``t``
+trajectory (each step advances by the leaf-crossing distance plus the
+``step_size`` epsilon, rt_core.cuh:229-230).
+
+This module replays exactly those steps inside a Pallas kernel using a
+**register-resident level-4 table**: 4096 cells x 4-bit (skippable flag
++ leaf depth) packed into 512 u32 words — one (8, 128) VMEM tile, so a
+lookup costs one 8-way broadcast + lane-gather + select chain
+(~0.4 ns/element measured, 16-30x under the XLA HBM gather).  The
+kernel advances each ray's ``t`` through consecutive skippable leaves
+with float math identical to the XLA march (same clip/floor/exp2/DDA
+formulas in f32), so the main march starts at the first
+non-skippable cell with a bit-identical ``t`` and produces bit-identical
+pixels — this is an exactness-preserving accelerator, not an
+approximation like the turbo map.
+
+A cell is skippable iff the level-4 descent lands on a leaf (depth <= 4)
+whose sigma <= the table's ``sigma_thresh``; the flag test is the exact
+complement of the march's ``sigma > sigma_thresh`` dense test, so a
+skipped step can never have contributed color.  The table must be
+rebuilt when ``sigma_thresh`` decreases below the build value (the
+Viewer handles this like the turbo map's validity envelope).
+
+Votes caveat: the reference's fallback split/sample vote
+(rt_core.cuh:309-320) can select an *empty* leaf when a ray finds no
+dense sample; skipping entry leaves would change that fallback for
+all-empty rays, so vote-collecting frames run without the prepass.
+
+Reference: the skipped work corresponds to the empty-leaf iterations of
+``render_voxels_trace_ray`` (rt_core.cuh:220-233, sigma <= sigma_thresh
+branch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..n3tree.tree import N3Tree
+
+# Table geometry: level-4 lattice = 16^3 = 4096 cells, 4-bit entries
+# packed 8/word -> 512 u32 words, padded to one (8, 128) i32 tile.
+_LEVEL = 4
+_GRID = 1 << _LEVEL
+_N_CELLS = _GRID ** 3
+_N_WORDS = _N_CELLS // 8          # 512
+_TABLE_SHAPE = (8, 128)           # 1024 words (tail zero-padded)
+
+# Ray block processed per kernel program instance.
+_BLOCK_SUBLANES = 64              # 64 x 128 = 8192 rays / program
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_skip_table(tree: N3Tree, sigma_thresh) -> jax.Array:
+    """Pack the level-4 skippability table: i32 [8, 128].
+
+    Entry nibble for cell (cx, cy, cz) (x-major, like the leaf map):
+    bit 3 = skippable (leaf at depth <= 4 with sigma <= sigma_thresh),
+    bits 0-2 = leaf depth (march step granularity).  Cells covered by
+    deeper subtrees get nibble 0 (not skippable).
+    """
+    from .accel import _build_rows, _f16_bits_to_f32, _INTERNAL_BIT, \
+        _DEPTH_BITS
+    rows = _build_rows(tree, _LEVEL, 0)               # [4096, 2]
+    meta = rows[:, 1]
+    depth = meta & _DEPTH_BITS
+    internal = (meta & _INTERNAL_BIT) != 0
+    sigma = _f16_bits_to_f32((meta >> 16) & 0xFFFF)
+    skip = (~internal) & (sigma <= jnp.float32(sigma_thresh)) \
+        & (depth <= 7)
+    nib = jnp.where(skip, (1 << 3) | depth, 0).astype(jnp.int32)
+    shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
+    words = jnp.sum(nib.reshape(_N_WORDS, 8) << shifts, axis=1)
+    words = jnp.concatenate(
+        [words, jnp.zeros((_TABLE_SHAPE[0] * _TABLE_SHAPE[1] - _N_WORDS,),
+                          jnp.int32)])
+    return words.reshape(_TABLE_SHAPE)
+
+
+def _prepass_kernel(scal_ref, table_ref, dx_ref, dy_ref, dz_ref,
+                    ix_ref, iy_ref, iz_ref, t_ref, tmax_ref, live_ref,
+                    out_ref):
+    """March each ray's t through consecutive skippable level-4 leaves.
+
+    All math replicates ops/accel.render_rays_fast's step update in f32:
+    posc = clip(cen + t*d), leaf cube = exp2(depth), DDA exit distance
+    (_dda_unit_batch) / cube + step_size.
+    """
+    cenx = scal_ref[0, 0]
+    ceny = scal_ref[0, 1]
+    cenz = scal_ref[0, 2]
+    step_size = scal_ref[0, 3]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = ix_ref[:], iy_ref[:], iz_ref[:]
+    tmax = tmax_ref[:]
+    t0 = t_ref[:]
+    live = live_ref[:] != 0
+    table = table_ref[:]
+    eps_hi = jnp.float32(1.0 - 1e-6)
+    gridf = jnp.float32(_GRID)
+
+    def lookup(word):
+        lane = word & 127
+        row = word >> 7
+        val = jnp.zeros_like(word)
+        for r in range(8):
+            bv = jnp.broadcast_to(table[r][None, :], lane.shape)
+            g = jnp.take_along_axis(bv, lane, axis=1)
+            val = jnp.where(row == r, g, val)
+        return val
+
+    def axis_t(frac, inv):
+        t1 = -frac * inv
+        t2 = t1 + inv
+        return jnp.maximum(t1, t2)
+
+    # NOTE: the while_loop carry holds the active mask as i32, not bool —
+    # Mosaic cannot legalize i1 vector loop carries (scf.yield) on v5e.
+    def body(c):
+        t, active_i = c
+        active = active_i != 0
+        px = jnp.clip(cenx + t * dx, 0.0, eps_hi)
+        py = jnp.clip(ceny + t * dy, 0.0, eps_hi)
+        pz = jnp.clip(cenz + t * dz, 0.0, eps_hi)
+        cx = jnp.floor(px * gridf).astype(jnp.int32)
+        cy = jnp.floor(py * gridf).astype(jnp.int32)
+        cz = jnp.floor(pz * gridf).astype(jnp.int32)
+        idx = (cx * _GRID + cy) * _GRID + cz
+        word = lookup(idx >> 3)
+        nib = (word >> ((idx & 7) * 4)) & 15
+        skip = (nib & 8) != 0
+        depth = nib & 7
+        cube = jnp.exp2(depth.astype(jnp.float32))
+        ux = px * cube
+        uy = py * cube
+        uz = pz * cube
+        fx = ux - jnp.floor(ux)
+        fy = uy - jnp.floor(uy)
+        fz = uz - jnp.floor(uz)
+        tsub = jnp.minimum(
+            jnp.float32(1e4),
+            jnp.minimum(jnp.minimum(axis_t(fx, ix), axis_t(fy, iy)),
+                        axis_t(fz, iz))) / cube
+        delta = tsub + step_size
+        adv = active & skip
+        t = jnp.where(adv, t + delta, t)
+        active = adv & (t < tmax)
+        return (t, active.astype(jnp.int32))
+
+    def cond(c):
+        return jnp.any(c[1] != 0)
+
+    t, _ = jax.lax.while_loop(
+        cond, body, (t0, (live & (t0 < tmax)).astype(jnp.int32)))
+    out_ref[:] = t
+
+
+def entry_skip_prepass(table: jax.Array,
+                       cen_t: jax.Array,      # [3] tree-space center
+                       d: jax.Array,          # [R, 3] scaled unit dirs
+                       invdir: jax.Array,     # [R, 3]
+                       tmin: jax.Array,       # [R]
+                       tmax: jax.Array,       # [R]
+                       live: jax.Array,       # [R] bool (ray hits bbox)
+                       step_size,
+                       interpret: Optional[bool] = None) -> jax.Array:
+    """Advance each ray's start ``t`` through entry empty space.
+
+    Returns t_start [R] >= tmin, bit-identical to where the exact march
+    would be after stepping those same (colorless) leaves.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R = d.shape[0]
+    rows_per_block = _BLOCK_SUBLANES
+    block = rows_per_block * 128
+    pad = (-R) % block
+    n_rows = (R + pad) // 128
+
+    def shape_plane(a, fill=0.0):
+        a = jnp.concatenate(
+            [a, jnp.full((pad,), fill, a.dtype)]) if pad else a
+        return a.reshape(n_rows, 128)
+
+    planes = [shape_plane(d[:, 0]), shape_plane(d[:, 1]),
+              shape_plane(d[:, 2]),
+              shape_plane(invdir[:, 0]), shape_plane(invdir[:, 1]),
+              shape_plane(invdir[:, 2]),
+              shape_plane(tmin), shape_plane(tmax),
+              shape_plane(live.astype(jnp.int32))]
+    scal = jnp.stack([cen_t[0], cen_t[1], cen_t[2],
+                      jnp.asarray(step_size, jnp.float32)]).reshape(1, 4)
+
+    grid = (n_rows // rows_per_block,)
+    ray_spec = pl.BlockSpec((rows_per_block, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _prepass_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(_TABLE_SHAPE, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [ray_spec] * 9,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
+        interpret=interpret,
+    )(scal, table, *planes)
+    return out.reshape(-1)[:R]

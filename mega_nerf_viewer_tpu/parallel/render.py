@@ -89,7 +89,7 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
         shard_map, mesh=mesh,
         in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=FastRenderResult(P(RAY_AXIS), P(), P(RAY_AXIS),
-                                   P(), P()),
+                                   P(), P(), P(RAY_AXIS)),
         check_vma=False)
     def _run(tree, lm, dirs, vdirs, cen):
         res = render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
@@ -101,7 +101,7 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
             overflow = jax.lax.pmax(overflow, other)
         return FastRenderResult(res.out, overflow.astype(bool),
                                 res.steps, res.split_vote,
-                                res.sample_vote)
+                                res.sample_vote, res.nrec)
 
     return _run
 

@@ -58,7 +58,14 @@ class Viewer:
         self.use_pallas_composite = False
         # turbo: max-empty-cube leaf map (sub-1e-3 drift; see accel.py)
         self.use_turbo_map = False
-        self.fast_max_dense = 32
+        # Pallas entry-skip prepass (bit-identical pixels; pallas_march)
+        self.use_prepass = True
+        self._skip_table = None
+        self._skip_thresh = None
+        # initial dense-record budget for hint-gathering frames; steady
+        # frames use per-segment budgets (ops/accel.DEFAULT_SEGMENTS)
+        # and both escalate on overflow
+        self.fast_max_dense = 8
         self.fast_chunk_size = 1 << 15
         self._leaf_map = None
         # torch::manual_seed(42) analogue (main.cpp:522)
@@ -87,6 +94,7 @@ class Viewer:
                 max_capacity=self.max_tree_capacity)
         self.tree = tree
         self._leaf_map = None
+        self._skip_table = None
         self._visit_tracker = jnp.zeros(
             (tree.max_capacity,), jnp.int32).at[0].set(1)
         basis_dim = tree.data_format.basis_dim
@@ -234,35 +242,79 @@ class Viewer:
                 else:
                     self._leaf_map = accel.build_leaf_map(self.tree)
                     self._leaf_map_turbo_thresh = None
-        # frame-to-frame coherence: pack rays into uniform-cost tiles
-        # using the last frame's per-ray march costs (order rebuilt only
-        # when stale — argsort + index upload isn't free)
+                self._skip_table = None
+        # entry-skip prepass table (Pallas register-table march through
+        # entry empty space; bit-identical pixels — pallas_march.py).
+        # Valid for exactly its build sigma_thresh; not for vote frames.
+        skip_table = None
+        if self.use_prepass and not need_votes:
+            thresh = self.options.sigma_thresh
+            if (getattr(self, "_skip_table", None) is None
+                    or getattr(self, "_skip_thresh", None) != thresh):
+                from .ops.pallas_march import build_skip_table
+                self._skip_table = build_skip_table(self.tree, thresh)
+                self._skip_thresh = thresh
+            skip_table = self._skip_table
+        # frame-to-frame coherence: rays sorted by (dense records, march
+        # steps) from a previous frame; steady-state frames then render
+        # in segments whose deferred-shading budget matches each ray
+        # class (bit-identical pixels, ~4x fewer coefficient-gather rows
+        # on 1080p).  Order rebuilt only when stale — argsort + index
+        # upload isn't free.
         order = getattr(self, "_ray_order", None)
         R = self.camera.width * self.camera.height
         if order is not None and order[0].shape[0] != R:
             order = None
-        # escalate the dense-sample cap on overflow before resorting to
-        # the (much slower) exact full-frame render
-        md = self.fast_max_dense
-        while True:
-            out = accel.render_frame_fast(
+        if order is not None:
+            segments = getattr(self, "_segments", None) \
+                or list(accel.DEFAULT_SEGMENTS)
+            out = accel.render_frame_fast_segmented(
                 self.tree, self._leaf_map, self.camera, self.options,
-                max_dense=md,
+                order=order, segments=tuple(segments),
                 chunk_size=self.fast_chunk_size,
-                order=order, need_votes=need_votes,
-                dynamic_knobs=self.use_dynamic_knobs)
-            overflow = out[1]
-            if not bool(overflow) or md >= 128:
-                break
-            md *= 2
-            self.fast_max_dense = md
-        if need_votes:
-            img, overflow, steps, split_vote, sample_vote = out
-        else:
-            img, overflow, steps = out
+                need_votes=need_votes,
+                dynamic_knobs=self.use_dynamic_knobs,
+                skip_table=skip_table)
+            ov = np.asarray(out[1])
+            if ov.any():
+                # segment budgets went stale (camera/tree moved the
+                # record distribution): escalate the overflowed budgets
+                # for future frames and redo THIS frame unsegmented with
+                # fresh ordering hints — a fast-path frame, never the
+                # exact full-frame cliff
+                self._segments = [
+                    (f, min(md * 2, 128) if ov[min(i, len(ov) - 1)]
+                     else md) for i, (f, md) in enumerate(segments)]
+                order = None
+            else:
+                self._segments = segments
+                overflow = False
+                img = out[0]
+                if need_votes:
+                    _, _, split_vote, sample_vote = out
         if order is None:
-            self._ray_order = accel.order_from_steps(steps)
-        if bool(overflow):
+            # no ordering hints yet (first frame at this resolution):
+            # single-segment frame that also returns the hints
+            md = self.fast_max_dense
+            while True:
+                out = accel.render_frame_fast(
+                    self.tree, self._leaf_map, self.camera, self.options,
+                    max_dense=md,
+                    chunk_size=self.fast_chunk_size,
+                    need_votes=need_votes,
+                    dynamic_knobs=self.use_dynamic_knobs,
+                    return_nrec=True, skip_table=skip_table)
+                overflow = bool(out[1])
+                if not overflow or md >= 128:
+                    break
+                md *= 2
+                self.fast_max_dense = md
+            if need_votes:
+                img, _, steps, split_vote, sample_vote, nrec = out
+            else:
+                img, _, steps, nrec = out
+            self._ray_order = accel.order_from_hints(steps, nrec)
+        if overflow:
             img, res = render_frame(
                 self.tree, self.camera.width, self.camera.height,
                 self.camera.fx, self.camera.fy, self.camera.cx,
@@ -362,11 +414,13 @@ class Viewer:
         self._visit_tracker = tracker
         if added:
             self._leaf_map = None
+            self._skip_table = None
         if added == 0:
             new_tree = refine.get_more_samples(
                 self.tree, self.model, self.options, res.sample_vote,
                 key=self._next_key())
             self._leaf_map = None
+            self._skip_table = None
         else:
             self._can_reuse_results = False
             self._guided_cache = None
@@ -378,6 +432,7 @@ class Viewer:
         self.tree, self._visit_tracker = refine.prune_tree(
             self.tree, self._visit_tracker)
         self._leaf_map = None
+        self._skip_table = None
 
     # ------------------------------------------------------------------
     # Interactive-equivalent input handling (reference main.cpp:268-420)

@@ -285,3 +285,106 @@ def test_dynamic_knobs_match_static():
                                     RenderOptions(sigma_thresh=st),
                                     chunk_size=0, dynamic_knobs=True)
         assert size_fn() == n0
+
+
+def test_segmented_frame_bit_equals_unsegmented():
+    """Record-sorted segmented rendering only partitions rays across
+    calls with different max_dense budgets — pixels must be IDENTICAL
+    to a single-segment frame (and to the exact renderer by
+    transitivity)."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    img0, ov0, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True)
+    assert not bool(ov0)
+    order = accel.order_from_hints(steps, nrec)
+    img1, seg_ov = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((0.5, 1), (0.25, 2), (0.25, 16)), chunk_size=cs)
+    assert not bool(np.asarray(seg_ov).any())
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    # votes ride through segmentation identically
+    imgv, seg_ovv, sv, pv = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((0.5, 1), (0.25, 2), (0.25, 16)), chunk_size=cs,
+        need_votes=True)
+    _, _, _, sv0, pv0, _ = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        need_votes=True, return_nrec=True)
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(sv0))
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(pv0))
+
+
+def test_segmented_overflow_flags_per_segment():
+    """A segment whose max_dense budget is too small must raise ITS
+    overflow flag (callers escalate that segment only)."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    _, _, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True)
+    order = accel.order_from_hints(steps, nrec)
+    assert np.asarray(nrec).max() > 1   # fixture records multiple
+    # starve the tail segment: heaviest rays land there by construction
+    _, seg_ov = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((0.5, 16), (0.5, 1)), chunk_size=cs)
+    ov = np.asarray(seg_ov)
+    assert ov[1] and not ov[0]
+
+
+def test_entry_skip_prepass_bit_exact():
+    """The Pallas entry-skip prepass advances t with the exact march's
+    float math — whole frames must be BIT-identical with and without
+    it, with strictly fewer march steps."""
+    from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    tab = build_skip_table(tree, opt.sigma_thresh)
+    a = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                chunk_size=256, block=16)
+    b = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                chunk_size=256, block=16, skip_table=tab)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(np.asarray(b[2]).sum()) < int(np.asarray(a[2]).sum())
+    # dynamic-knob mode rides through the prepass too
+    c = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                chunk_size=256, block=16, skip_table=tab,
+                                dynamic_knobs=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(c[0]),
+                               atol=1e-6)
+
+
+def test_skip_table_thresh_semantics():
+    """A cell is skippable iff its (depth<=4) leaf has sigma <= the
+    build threshold — the exact complement of the march's dense test,
+    so a skipped step can never carry color."""
+    from mega_nerf_viewer_tpu.ops.pallas_march import (
+        build_skip_table, _GRID)
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lo = np.asarray(build_skip_table(tree, 1e-2)).reshape(-1)
+    hi = np.asarray(build_skip_table(tree, 1e9)).reshape(-1)
+    def nskip(words):
+        n = 0
+        for w in words[:_GRID ** 3 // 8]:
+            for j in range(8):
+                n += (int(w) >> (4 * j + 3)) & 1
+        return n
+    # raising the threshold can only make MORE cells skippable
+    assert nskip(hi) >= nskip(lo)
+    assert nskip(hi) > 0
