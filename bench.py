@@ -50,7 +50,7 @@ def main():
     while True:
         img, overflow, steps, nrec = accel.render_frame_fast(
             tree, leaf_map, cam, opt, max_dense=max_dense,
-            chunk_size=1 << 15, block=64, return_nrec=True,
+            chunk_size=1 << 14, block=64, return_nrec=True,
             skip_table=skip_table)
         if not bool(overflow):
             break
@@ -64,7 +64,7 @@ def main():
         while True:
             img, seg_overflow = accel.render_frame_fast_segmented(
                 tree, leaf_map, cam, opt, order=order,
-                segments=tuple(segments), chunk_size=1 << 15,
+                segments=tuple(segments), chunk_size=1 << 14,
                 skip_table=skip_table)
             ov = np.asarray(seg_overflow)
             if not ov.any():

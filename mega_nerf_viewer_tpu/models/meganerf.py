@@ -81,6 +81,59 @@ def mlp_forward(params: MLPParams, cluster: jax.Array,
     return h
 
 
+def mlp_forward_grouped(params: MLPParams, sorted_x: jax.Array,
+                        group_sizes: jax.Array) -> jax.Array:
+    """Grouped-matmul MLP over cluster-sorted samples.
+
+    The TPU-native replacement for the reference's per-cluster chunk
+    loop (``query_submodules``, cuda_renderer.cpp:165-203): one
+    ``lax.ragged_dot`` per layer runs every cluster's weights over its
+    contiguous sample segment on the MXU — O(1) dispatches regardless
+    of cluster count or sample count.  Biases are folded into the
+    matmul via a ones-column augmentation (per-row bias gathers are
+    ~10 ns/row on v5e; a k+1 matmul row is free).
+
+    Args:
+      sorted_x: f32 [n, in_dim], samples sorted by cluster id.
+      group_sizes: i32 [n_clusters], samples per cluster (sum == n).
+    Returns f32 [n, out_dim] in the sorted order.
+    """
+    h = sorted_x
+    x0 = sorted_x
+    n_layers = len(params.weights)
+    for l in range(n_layers):
+        if l in params.skips:
+            h = jnp.concatenate([h, x0], axis=-1)
+        w = params.weights[l]                       # [C, in, out]
+        b = params.biases[l]                        # [C, out]
+        w_aug = jnp.concatenate([w, b[:, None, :]], axis=1)
+        h_aug = jnp.concatenate(
+            [h, jnp.ones((h.shape[0], 1), h.dtype)], axis=-1)
+        h = jax.lax.ragged_dot(h_aug, w_aug, group_sizes,
+                               preferred_element_type=jnp.float32)
+        if l < n_layers - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+@jax.jit
+def _query_grouped(params: MLPParams, cluster_ids: jax.Array,
+                   x: jax.Array) -> jax.Array:
+    """Sort-once grouped dispatch: samples in ANY order -> outputs in
+    the same order.  One stable sort by cluster id, grouped matmuls,
+    inverse-permutation gather back."""
+    C = params.n_clusters
+    ids = jnp.clip(cluster_ids.astype(jnp.int32), 0, C - 1)
+    perm = jnp.argsort(ids, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    sorted_x = jnp.take(x, perm, axis=0)
+    group_sizes = jnp.sum(
+        ids[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None],
+        axis=1, dtype=jnp.int32)
+    out_sorted = mlp_forward_grouped(params, sorted_x, group_sizes)
+    return jnp.take(out_sorted, inv, axis=0)
+
+
 def mlp_forward_all(params: MLPParams, cluster_ids: jax.Array,
                     x: jax.Array) -> jax.Array:
     """Fully-jittable per-sample-cluster forward.
@@ -122,6 +175,35 @@ class MegaNeRFModel:
         return self.params.output_dim
 
     # ------------------------------------------------------------------
+    def query_device(self, cluster_ids, samples) -> jax.Array:
+        """Fully on-device grouped dispatch (production path): one
+        stable sort + per-layer ``lax.ragged_dot`` grouped matmuls —
+        O(1) dispatches and zero host syncs, vs the reference's
+        per-cluster per-chunk loop with ``.item()`` syncs
+        (cuda_renderer.cpp:165-203; :meth:`query` mirrors that loop and
+        remains for parity / the eager-torch fallback).
+
+        Args: cluster_ids [n] int, samples [n, in_dim].
+        Returns f32 [n, out_dim] in the input order (device array).
+        """
+        if self._torch_modules is not None:
+            return self.query(np.asarray(cluster_ids), samples)
+        return _query_grouped(self.params,
+                              jnp.asarray(cluster_ids).reshape(-1),
+                              jnp.asarray(samples))
+
+    def cluster_ids_device(self, points_yz: jax.Array) -> jax.Array:
+        """Spatial cluster id from world (y, z), on device
+        (rt_core.cuh:541-549)."""
+        gd = jnp.asarray(self.grid_dim, jnp.float32)
+        mp = jnp.asarray(self.min_position, jnp.float32)
+        rg = jnp.asarray(self.range, jnp.float32)
+        g1 = jnp.clip((points_yz[..., 0] - mp[1]) / rg[1] * gd[0],
+                      0.0, gd[0] - 1.0).astype(jnp.int32)
+        g2 = jnp.clip((points_yz[..., 1] - mp[2]) / rg[2] * gd[1],
+                      0.0, gd[1] - 1.0).astype(jnp.int32)
+        return g1 * int(self.grid_dim[1]) + g2
+
     def cluster_ids_for_points(self, points_yz: np.ndarray) -> np.ndarray:
         """Spatial cluster id from world (y, z) (rt_core.cuh:541-549)."""
         g1 = np.clip((points_yz[..., 0] - self.min_position[1])

@@ -615,11 +615,12 @@ def order_from_hints(steps, nrec) -> tuple:
 
 # Per-segment (ray fraction, max_dense) budgets for record-sorted frames.
 # Measured on the 1080p shell benchmark: 52% of rays record nothing,
-# 94% record <= 2, max 7 — so most rays pay a [r, 1..2, D] deferred
-# shading gather instead of [r, 8, D] (padding was ~10x the valid rows,
-# ~370 of 588 ms/frame).  Any overflowing segment is escalated by the
-# caller (Viewer/bench double its max_dense and re-render).
-DEFAULT_SEGMENTS = ((0.5, 1), (0.375, 2), (0.125, 8))
+# 94% record <= 2, p99 = 4, max 7 — so most rays pay a [r, 1..2, D]
+# deferred shading gather instead of [r, 8, D] (padding was ~10x the
+# valid rows, ~370 of 588 ms/frame).  Any overflowing segment is
+# escalated by the caller (Viewer/bench double its max_dense and
+# re-render).
+DEFAULT_SEGMENTS = ((0.5, 1), (0.375, 2), (0.09375, 4), (0.03125, 8))
 
 
 def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,

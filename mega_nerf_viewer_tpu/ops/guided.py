@@ -440,7 +440,7 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     flat_samples = np.concatenate(cols, axis=-1)
     flat_ids = model.cluster_ids_for_points(pos[:, 1:3])
 
-    res = model.query(flat_ids, flat_samples, opt.nerf_batch_size, 32)
+    res = model.query_device(flat_ids, flat_samples)
     out_dim = model.output_dim
     results = np.zeros((R, S, out_dim), np.float32)
     results[ray_i, slot_i] = np.asarray(res)
@@ -478,8 +478,7 @@ def collect_and_query(tree: N3Tree, model, camera, opt: RenderOptions,
     flat_idx = np.nonzero(valid.reshape(-1))[0]
     flat_samples = samples.reshape(R * S, -1)[flat_idx]
     flat_ids = ids.reshape(-1)[flat_idx]
-    res = model.query(flat_ids, flat_samples[:, 1:],
-                      opt.nerf_batch_size, 32)
+    res = model.query_device(flat_ids, flat_samples[:, 1:])
     out_dim = model.output_dim
     padded = np.zeros((R * S, out_dim), np.float32)
     padded[flat_idx] = np.asarray(res)

@@ -158,8 +158,7 @@ def _make_samples(tree: N3Tree, model, opt: RenderOptions,
         cols.append(jnp.full((K, spc, 1), opt.appearance_embedding,
                              jnp.float32))
     samples = jnp.concatenate(cols, axis=-1)
-    cluster_ids = model.cluster_ids_for_points(
-        np.asarray(xyz[..., 1:3]))
+    cluster_ids = model.cluster_ids_device(xyz[..., 1:3])
     return samples, cluster_ids
 
 
@@ -225,11 +224,13 @@ def expand_voxels(tree: N3Tree, model, opt: RenderOptions,
         cols.append(jnp.full(xyz.shape[:2] + (1,), opt.appearance_embedding,
                              jnp.float32))
     samples = jnp.concatenate(cols, axis=-1)
-    cluster_ids = model.cluster_ids_for_points(np.asarray(xyz[..., 1:3]))
+    cluster_ids = model.cluster_ids_device(xyz[..., 1:3])
 
-    results = model.query(cluster_ids.reshape(-1),
-                          samples.reshape(K * N3 * spc, -1),
-                          opt.nerf_batch_size, 1)
+    # grouped-matmul dispatch: one device program for all clusters
+    # (replaces the reference's per-cluster chunked host loop,
+    # cuda_renderer.cpp:165-203)
+    results = model.query_device(cluster_ids.reshape(-1),
+                                 samples.reshape(K * N3 * spc, -1))
     results = results.reshape(K * N3, spc, -1)
     new_data = jnp.mean(results[..., :tree.data_dim], axis=1)   # [K*N3, D]
 
@@ -277,9 +278,8 @@ def get_more_samples(tree: N3Tree, model, opt: RenderOptions,
     spc = opt.samples_per_corner
     K = len(to_sample)
     samples, cluster_ids = _make_samples(tree, model, opt, chunk, cidx, key)
-    results = model.query(cluster_ids.reshape(-1),
-                          samples.reshape(K * spc, -1),
-                          opt.nerf_batch_size, 1)
+    results = model.query_device(cluster_ids.reshape(-1),
+                                 samples.reshape(K * spc, -1))
     results = results.reshape(K, spc, -1)
     new_sum = jnp.sum(results[..., :tree.data_dim], axis=1)     # [K, D]
 

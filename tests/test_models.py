@@ -144,3 +144,39 @@ def test_torchscript_fallback(tmp_path, rng):
         want = c.sub_module_0(torch.from_numpy(x), False).numpy()
     got = np.asarray(model.query(np.zeros(8, np.int16), x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_query_device_matches_host_loop():
+    """Grouped ragged_dot dispatch must produce the host chunked-loop
+    results for arbitrary cluster orderings (incl. empty clusters)."""
+    import jax.numpy as jnp
+    m = MegaNeRFModel.synthetic(data_dim=4, n_clusters=4, hidden=16,
+                                n_layers=3, grid_dim=(2, 2))
+    rng = np.random.RandomState(3)
+    x = rng.randn(333, 3).astype(np.float32)
+    ids = rng.choice([0, 2, 3], size=333).astype(np.int32)  # 1 empty
+    want = np.asarray(m.query(ids, x))
+    got = np.asarray(m.query_device(jnp.asarray(ids), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_forward_with_skips():
+    """mlp_forward_grouped must honor NeRF skip-concat layers."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.models.meganerf import (
+        MLPParams, mlp_forward, mlp_forward_grouped)
+    rng = np.random.RandomState(4)
+    C, in_dim, h = 3, 3, 8
+    dims = [(in_dim, h), (h, h), (h + in_dim, h), (h, 5)]
+    weights = [jnp.asarray(rng.randn(C, a, b).astype(np.float32) * 0.3)
+               for a, b in dims]
+    biases = [jnp.asarray(rng.randn(C, b).astype(np.float32) * 0.1)
+              for _, b in dims]
+    p = MLPParams(weights=weights, biases=biases, skips=(2,))
+    x = rng.randn(30, in_dim).astype(np.float32)
+    gs = jnp.asarray([12, 0, 18], jnp.int32)
+    got = np.asarray(mlp_forward_grouped(p, jnp.asarray(x), gs))
+    want = np.concatenate([
+        np.asarray(mlp_forward(p, jnp.int32(0), jnp.asarray(x[:12]))),
+        np.asarray(mlp_forward(p, jnp.int32(2), jnp.asarray(x[12:])))])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

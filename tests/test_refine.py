@@ -147,7 +147,13 @@ def test_get_more_samples_incremental_mean():
         def cluster_ids_for_points(self, yz):
             return np.zeros(yz.shape[:-1], np.int16)
 
+        def cluster_ids_device(self, yz):
+            return jnp.zeros(yz.shape[:-1], jnp.int32)
+
         def query(self, ids, samples, *a, **k):
+            return jnp.full((samples.shape[0], 5), 2.0, jnp.float32)
+
+        def query_device(self, ids, samples):
             return jnp.full((samples.shape[0], 5), 2.0, jnp.float32)
 
     opt = RenderOptions(samples_per_corner=8, split_batch_size=16)
