@@ -560,6 +560,93 @@ def render_rays_fast(tree: N3Tree,
                             sample_vote, nrec)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "width", "seg_counts", "chunk_size", "unroll",
+                     "need_votes", "return_hints"))
+def _frame_core(tree: N3Tree, leaf_map: LeafMap,
+                perm: jax.Array, inv: jax.Array,
+                transform: jax.Array, intr: jax.Array,
+                rot_dirs: jax.Array, bg_value: jax.Array,
+                dyn: Optional[jax.Array],
+                skip_table: Optional[jax.Array],
+                *, opt: RenderOptions, width: int,
+                seg_counts: tuple, chunk_size: int, unroll: int,
+                need_votes: bool, return_hints: bool):
+    """One-dispatch fast frame: raygen -> (prepass) -> per-segment march
+    -> unpermute -> background composite, all inside a single jit.
+
+    The eager version of this sequence paid per-op dispatch overhead for
+    ray generation, segment stitching and compositing (~80 ms of a
+    ~227 ms 1080p frame on the v5e benchmark); fusing it into one
+    compiled program leaves only the compute.  Pixels are identical to
+    the unfused path.  ``intr`` = traced [fx, fy, cx, cy] so camera
+    motion and focal changes never recompile; ``seg_counts`` =
+    ((n_chunks, max_dense), ...) static segment layout.
+    """
+    from .render import composite_background
+    from .rays import screen2worlddir_indices, rodrigues
+    R = inv.shape[0]
+    n_total = sum(c for c, _ in seg_counts) * chunk_size
+    pad = n_total - R
+    pix = perm if not pad else jnp.concatenate(
+        [perm, jnp.broadcast_to(perm[-1:], (pad,))])
+    dirs_p, cen = screen2worlddir_indices(
+        pix, width, intr[0], intr[1], intr[2], intr[3], transform)
+    vdirs_p = rodrigues(rot_dirs, dirs_p)
+
+    outs, ovs, svs, pvs, steps_l, nrec_l = [], [], [], [], [], []
+    off = 0
+    for c_chunks, md in seg_counts:
+        n = c_chunks * chunk_size
+        sl = slice(off, off + n)
+        res = render_rays_fast(
+            tree, leaf_map, dirs_p[sl], vdirs_p[sl], cen, opt,
+            max_dense=md, chunk_size=chunk_size if c_chunks > 1 else 0,
+            unroll=unroll, need_votes=need_votes, dyn=dyn,
+            skip_table=skip_table)
+        outs.append(res.out)
+        ovs.append(res.overflow)
+        if need_votes:
+            svs.append(res.split_vote)
+            pvs.append(res.sample_vote)
+        if return_hints:
+            steps_l.append(res.steps)
+            nrec_l.append(res.nrec)
+        off += n
+    out = jnp.take(jnp.concatenate(outs, 0)[:R], inv, axis=0)
+    img = composite_background(out, opt, bg_value=bg_value)
+    ret = dict(img=img, seg_overflow=jnp.stack(ovs))
+    if need_votes:
+        ret["split_vote"] = jnp.take(
+            jnp.concatenate(svs, 0)[:R], inv, axis=0)
+        ret["sample_vote"] = jnp.take(
+            jnp.concatenate(pvs, 0)[:R], inv, axis=0)
+    if return_hints:
+        ret["steps"] = jnp.take(
+            jnp.concatenate(steps_l, 0)[:R], inv, axis=0)
+        ret["nrec"] = jnp.take(
+            jnp.concatenate(nrec_l, 0)[:R], inv, axis=0)
+    return ret
+
+
+def _frame_core_args(camera, opt: RenderOptions, dynamic_knobs: bool):
+    """Shared wrapper plumbing for the fused frame: traced camera /
+    knob arrays + the (possibly normalized) static options key."""
+    transform = jnp.asarray(camera.transform)
+    intr = jnp.asarray((camera.fx, camera.fy, camera.cx, camera.cy),
+                       jnp.float32)
+    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
+    bg_value = jnp.float32(opt.background_brightness)
+    if dynamic_knobs:
+        dyn = dyn_knobs(opt)
+        opt = normalize_static(opt)
+    else:
+        dyn = None
+        opt = opt.replace(background_brightness=0.0, rot_dirs=(0.0,) * 3)
+    return transform, intr, rot_dirs, bg_value, dyn, opt
+
+
 def block_permutation(width: int, height: int, block: int = 16):
     """Pixel permutation grouping rays into spatially coherent 2-D
     blocks (the fast path's tiles), plus its inverse.  Rays within a
@@ -652,18 +739,7 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     segmented steady-state frames) — all in pixel order.
     """
     from .render import composite_background
-    from .rays import screen2worlddir_indices
     w, h = camera.width, camera.height
-    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
-    if dynamic_knobs:
-        # continuous knobs ride as traced values; the static jit key is
-        # float-normalized so slider changes don't recompile
-        dyn = dyn_knobs(opt)
-        bg_value = jnp.float32(opt.background_brightness)
-        opt = normalize_static(opt)
-    else:
-        dyn = None
-        bg_value = None
     R = w * h
     if chunk_size and R > chunk_size:
         if order is not None:
@@ -672,28 +748,31 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
             perm, inv = order_from_steps(step_hint)
         else:
             perm, inv = block_permutation(w, h, block)
-        # generate rays directly in permuted order: arithmetic on the
-        # index array instead of gathering a pre-built [R, 3] array
-        # (gathers are the expensive op on TPU)
-        pad = (-R) % chunk_size
-        pix = perm if not pad else jnp.concatenate(
-            [perm, jnp.broadcast_to(perm[-1:], (pad,))])
-        dirs_p, cen = screen2worlddir_indices(
-            pix, w, camera.fx, camera.fy, camera.cx, camera.cy,
-            jnp.asarray(camera.transform))
-        vdirs_p = rodrigues(rot_dirs, dirs_p)
-        res = render_rays_fast(tree, leaf_map, dirs_p, vdirs_p, cen, opt,
-                               max_dense=max_dense, chunk_size=chunk_size,
-                               unroll=unroll, need_votes=need_votes,
-                               dyn=dyn, skip_table=skip_table)
-        out = jnp.take(res.out[:R], inv, axis=0)
-        steps = jnp.take(res.steps[:R], inv, axis=0)
+        transform, intr, rot_dirs, bg_value, dyn, opt = _frame_core_args(
+            camera, opt, dynamic_knobs)
+        n_chunks = (R + chunk_size - 1) // chunk_size
+        res = _frame_core(
+            tree, leaf_map, perm, inv, transform, intr, rot_dirs,
+            bg_value, dyn, skip_table, opt=opt, width=w,
+            seg_counts=((n_chunks, max_dense),), chunk_size=chunk_size,
+            unroll=unroll, need_votes=need_votes, return_hints=True)
+        img = res["img"]
+        overflow = res["seg_overflow"][0]
+        steps = res["steps"]
         if return_nrec:
-            nrec = jnp.take(res.nrec[:R], inv, axis=0)
+            nrec = res["nrec"]
         if need_votes:
-            split_vote = jnp.take(res.split_vote[:R], inv, axis=0)
-            sample_vote = jnp.take(res.sample_vote[:R], inv, axis=0)
+            split_vote = res["split_vote"]
+            sample_vote = res["sample_vote"]
     else:
+        rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
+        if dynamic_knobs:
+            dyn = dyn_knobs(opt)
+            bg_value = jnp.float32(opt.background_brightness)
+            opt = normalize_static(opt)
+        else:
+            dyn = None
+            bg_value = None
         dirs, cen = screen2worlddir(w, h, camera.fx, camera.fy,
                                     camera.cx, camera.cy,
                                     jnp.asarray(camera.transform))
@@ -702,15 +781,16 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                                max_dense=max_dense, chunk_size=0,
                                unroll=unroll, need_votes=need_votes,
                                dyn=dyn, skip_table=skip_table)
-        out = res.out
+        out = composite_background(res.out, opt, bg_value=bg_value)
+        img = out
+        overflow = res.overflow
         steps = res.steps
         if return_nrec:
             nrec = res.nrec
         if need_votes:
             split_vote = res.split_vote
             sample_vote = res.sample_vote
-    img = composite_background(out, opt, bg_value=bg_value)
-    ret = [img.reshape(h, w, 4), res.overflow, steps]
+    ret = [img.reshape(h, w, 4), overflow, steps]
     if need_votes:
         ret += [split_vote, sample_vote]
     if return_nrec:
@@ -758,23 +838,10 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     Returns (img [H, W, 4], seg_overflow bool [n_segments],
     [split_vote, sample_vote] when need_votes) — votes in pixel order.
     """
-    from .render import composite_background
-    from .rays import screen2worlddir_indices
     w, h = camera.width, camera.height
-    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
-    if dynamic_knobs:
-        dyn = dyn_knobs(opt)
-        bg_value = jnp.float32(opt.background_brightness)
-        opt = normalize_static(opt)
-    else:
-        dyn = None
-        bg_value = None
     R = w * h
     perm, inv = order
-    pad = (-R) % chunk_size
-    pix = perm if not pad else jnp.concatenate(
-        [perm, jnp.broadcast_to(perm[-1:], (pad,))])
-    n_chunks = pix.shape[0] // chunk_size
+    n_chunks = (R + chunk_size - 1) // chunk_size
     if n_chunks < len(segments):
         res = render_frame_fast(
             tree, leaf_map, camera, opt,
@@ -786,34 +853,16 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
         ov = jnp.broadcast_to(overflow, (len(segments),))
         return ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
 
-    dirs_p, cen = screen2worlddir_indices(
-        pix, w, camera.fx, camera.fy, camera.cx, camera.cy,
-        jnp.asarray(camera.transform))
-    vdirs_p = rodrigues(rot_dirs, dirs_p)
-
-    outs, ovs, svs, pvs = [], [], [], []
-    off = 0
-    for c_chunks, md in segment_chunks(n_chunks, segments):
-        n = c_chunks * chunk_size
-        sl = slice(off, off + n)
-        res = render_rays_fast(
-            tree, leaf_map, dirs_p[sl], vdirs_p[sl], cen, opt,
-            max_dense=md, chunk_size=chunk_size if c_chunks > 1 else 0,
-            unroll=unroll, need_votes=need_votes, dyn=dyn,
-            skip_table=skip_table)
-        outs.append(res.out)
-        ovs.append(res.overflow)
-        if need_votes:
-            svs.append(res.split_vote)
-            pvs.append(res.sample_vote)
-        off += n
-    out = jnp.concatenate(outs, axis=0)
-    out = jnp.take(out[:R], inv, axis=0)
-    img = composite_background(out, opt, bg_value=bg_value)
-    seg_overflow = jnp.stack(ovs)
+    transform, intr, rot_dirs, bg_value, dyn, opt = _frame_core_args(
+        camera, opt, dynamic_knobs)
+    res = _frame_core(
+        tree, leaf_map, perm, inv, transform, intr, rot_dirs, bg_value,
+        dyn, skip_table, opt=opt, width=w,
+        seg_counts=segment_chunks(n_chunks, segments),
+        chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
+        return_hints=False)
+    img = res["img"].reshape(h, w, 4)
     if need_votes:
-        split_vote = jnp.take(jnp.concatenate(svs, 0)[:R], inv, axis=0)
-        sample_vote = jnp.take(jnp.concatenate(pvs, 0)[:R], inv, axis=0)
-        return (img.reshape(h, w, 4), seg_overflow, split_vote,
-                sample_vote)
-    return img.reshape(h, w, 4), seg_overflow
+        return (img, res["seg_overflow"], res["split_vote"],
+                res["sample_vote"])
+    return img, res["seg_overflow"]
