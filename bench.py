@@ -33,8 +33,8 @@ def main():
 
     opt = RenderOptions()
     # Pallas entry-skip prepass table (bit-identical pixels; see
-    # ops/pallas_march.py) — register-resident level-4 march through
-    # entry empty space, ~72% of all march steps on this fixture
+    # ops/pallas_march.py) — register-resident level-4+5 march through
+    # entry empty space, ~79% of all march steps on this fixture
     from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
     skip_table = build_skip_table(tree, opt.sigma_thresh)
     cam = Camera(width, height, 1111.0)
@@ -50,7 +50,7 @@ def main():
     while True:
         img, overflow, steps, nrec = accel.render_frame_fast(
             tree, leaf_map, cam, opt, max_dense=max_dense,
-            chunk_size=1 << 14, block=64, return_nrec=True,
+            chunk_size=1 << 11, block=64, return_nrec=True,
             skip_table=skip_table)
         if not bool(overflow):
             break
@@ -61,29 +61,40 @@ def main():
     segments = list(accel.DEFAULT_SEGMENTS)
 
     def frame():
-        while True:
-            img, seg_overflow = accel.render_frame_fast_segmented(
-                tree, leaf_map, cam, opt, order=order,
-                segments=tuple(segments), chunk_size=1 << 14,
-                skip_table=skip_table)
-            ov = np.asarray(seg_overflow)
-            if not ov.any():
-                break
-            for i, hit in enumerate(ov):
-                if hit:
-                    segments[i] = (segments[i][0], segments[i][1] * 2)
-                    assert segments[i][1] <= 128
-        # fetch a checksum, not the 8 MB image: forces full device
-        # computation without timing the host link (the axon tunnel
-        # transfers ~35 MB/s and would dominate; production PCIe/DMA
-        # readback is ~3 ms for a 1080p frame)
-        return float(img.sum())
+        img, seg_overflow = accel.render_frame_fast_segmented(
+            tree, leaf_map, cam, opt, order=order,
+            segments=tuple(segments), chunk_size=1 << 11,
+            skip_table=skip_table)
+        return img, seg_overflow
 
-    frame()  # compile the step-sorted ordering
+    # settle segment budgets once (the timed loop renders the same view,
+    # so a non-overflowing layout stays valid), then compile
+    while True:
+        img, seg_overflow = frame()
+        ov = np.asarray(seg_overflow)
+        if not ov.any():
+            break
+        for i, hit in enumerate(ov):
+            if hit:
+                segments[i] = (segments[i][0], max(1, segments[i][1] * 2))
+                assert segments[i][1] <= 128
+
+    # Timing: dispatch n frames back-to-back, chaining each frame's
+    # checksum into a device-side accumulator, and force the chain with
+    # ONE scalar fetch at the end.  Each frame's full compute is on the
+    # checksum's data path so nothing can be elided; the single fetch
+    # keeps the axon dev tunnel's ~27 ms dispatch/fetch round trip and
+    # ~35 MB/s host link out of the measurement (production readback of
+    # a 1080p frame is ~3 ms of PCIe DMA, and display consumers overlap
+    # it with the next frame's dispatch).
+    float(jnp.float32(0.0) + img.sum())  # compile the checksum chain
     n_frames = 10
     t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
     for _ in range(n_frames):
-        csum = frame()
+        img, _ = frame()
+        acc = acc + img.sum()
+    csum = float(acc)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
     rays_per_sec = fps * width * height

@@ -463,15 +463,21 @@ def render_rays_fast(tree: N3Tree,
                     weight, max_sw)
                 votes = (split_vote, sample_vote, max_w, max_sw)
 
-            can_rec = dense & (nd < max_dense)
+            # max_dense == 0 — the zero-record segment: ~half the rays
+            # of a steady frame record nothing (hint p50 = 0); they
+            # march with no record buffers or shading gather at all,
+            # and ANY dense sample raises overflow so stale hints are
+            # caught and escalated like every other segment
             overflow = overflow | (dense & (nd >= max_dense))
-            m = can_rec[:, None] & (nd[:, None] == srange[None, :])
-            if not opt.render_depth:
-                nodes_buf = jnp.where(m, node[:, None], nodes_buf)
-            w_buf = jnp.where(m, weight[:, None], w_buf)
-            if opt.render_depth:
-                t_buf = jnp.where(m, t[:, None], t_buf)
-            nd = jnp.where(can_rec, nd + 1, nd)
+            if max_dense > 0:
+                can_rec = dense & (nd < max_dense)
+                m = can_rec[:, None] & (nd[:, None] == srange[None, :])
+                if not opt.render_depth:
+                    nodes_buf = jnp.where(m, node[:, None], nodes_buf)
+                w_buf = jnp.where(m, weight[:, None], w_buf)
+                if opt.render_depth:
+                    t_buf = jnp.where(m, t[:, None], t_buf)
+                nd = jnp.where(can_rec, nd + 1, nd)
 
             T = jnp.where(dense, T * att, T)
             stop_now = dense & (T < stop_thresh)
@@ -503,7 +509,14 @@ def render_rays_fast(tree: N3Tree,
         # coefficient block stays small: [r, max_dense, D]) ----
         slots = jnp.arange(max_dense)
         valid = slots[None, :] < nd[:, None]
-        if opt.render_depth:
+        if max_dense == 0:
+            # zero-record segment: nothing was recorded (any dense
+            # sample raised overflow), so the composite is closed-form
+            rgb = jnp.zeros((r, 3), jnp.float32)
+            alpha = jnp.where(stopped, 1.0,
+                              jnp.where(miss_c, 0.0, 1.0 - T))
+            out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
+        elif opt.render_depth:
             d0 = jnp.sum(jnp.where(valid, w_buf * t_buf, 0.0), axis=1)
             d0 = jnp.minimum(d0 * 0.3, 1.0)
             rgb = jnp.where(miss_c[:, None], 0.0,
@@ -702,12 +715,14 @@ def order_from_hints(steps, nrec) -> tuple:
 
 # Per-segment (ray fraction, max_dense) budgets for record-sorted frames.
 # Measured on the 1080p shell benchmark: 52% of rays record nothing,
-# 94% record <= 2, p99 = 4, max 7 — so most rays pay a [r, 1..2, D]
-# deferred shading gather instead of [r, 8, D] (padding was ~10x the
-# valid rows, ~370 of 588 ms/frame).  Any overflowing segment is
-# escalated by the caller (Viewer/bench double its max_dense and
-# re-render).
-DEFAULT_SEGMENTS = ((0.5, 1), (0.375, 2), (0.09375, 4), (0.03125, 8))
+# 94% record <= 2, p99 = 4, max 7 — so half the frame runs the
+# zero-record segment (no record buffers, no shading gather at all) and
+# most of the rest pays a [r, 1..2, D] deferred shading gather instead
+# of [r, 8, D] (padding was ~10x the valid rows, ~370 of 588 ms/frame).
+# Any overflowing segment is escalated by the caller (Viewer/bench
+# raise its max_dense — 0 -> 1, then doubling — and re-render).
+DEFAULT_SEGMENTS = ((0.5, 0), (0.1875, 1), (0.25, 2),
+                    (0.046875, 4), (0.015625, 8))
 
 
 def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,

@@ -9,11 +9,14 @@ Those steps do no shading work; their only output is the exact ``t``
 trajectory (each step advances by the leaf-crossing distance plus the
 ``step_size`` epsilon, rt_core.cuh:229-230).
 
-This module replays exactly those steps inside a Pallas kernel using a
-**register-resident level-4 table**: 4096 cells x 4-bit (skippable flag
-+ leaf depth) packed into 512 u32 words — one (8, 128) VMEM tile, so a
-lookup costs one 8-way broadcast + lane-gather + select chain
-(~0.4 ns/element measured, 16-30x under the XLA HBM gather).  The
+This module replays exactly those steps inside a Pallas kernel using
+**register-resident tables at levels 4 and 5**: 4096 level-4 cells x
+4-bit (skippable flag + leaf depth) packed into 512 u32 words, plus
+32768 level-5 cells x 1 bit ("empty leaf at depth exactly 5" — depth
+<= 4 leaves resolve at the nibble level, so no depth field is needed)
+in 1024 words; together one (16, 128) VMEM tile.  A lookup costs an
+8-way broadcast + lane-gather + select chain per level (~0.4 ns/element
+each measured, 16-30x under the XLA HBM gather).  The
 kernel advances each ray's ``t`` through consecutive skippable leaves
 with float math identical to the XLA march (same clip/floor/exp2/DDA
 formulas in f32), so the main march starts at the first
@@ -49,13 +52,23 @@ import jax.numpy as jnp
 
 from ..n3tree.tree import N3Tree
 
-# Table geometry: level-4 lattice = 16^3 = 4096 cells, 4-bit entries
-# packed 8/word -> 512 u32 words, padded to one (8, 128) i32 tile.
+# Table geometry, two stacked register-resident levels:
+#   rows 0-7:  level-4 lattice = 16^3 = 4096 cells, 4-bit entries
+#              (skip flag + leaf depth) packed 8/word -> 512 u32 words.
+#   rows 8-15: level-5 lattice = 32^3 = 32768 cells, 1 bit each
+#              (cell is an empty LEAF at depth exactly 5) -> 1024 words.
+# A leaf of depth <= 4 is already resolved by the level-4 nibble, so a
+# level-5 leaf hit under an internal level-4 cell always has depth
+# exactly 5 — one extra 8-row bit lookup extends exact skipping one
+# level deeper (measured: depth-5 empty leaves were ~23% of the
+# residual 1080p march steps after the level-4-only prepass).
 _LEVEL = 4
 _GRID = 1 << _LEVEL
 _N_CELLS = _GRID ** 3
 _N_WORDS = _N_CELLS // 8          # 512
-_TABLE_SHAPE = (8, 128)           # 1024 words (tail zero-padded)
+_GRID5 = 32
+_N_WORDS5 = _GRID5 ** 3 // 32     # 1024
+_TABLE_SHAPE = (16, 128)          # [0:8] nibble words, [8:16] bit words
 
 # Ray block processed per kernel program instance.
 _BLOCK_SUBLANES = 64              # 64 x 128 = 8192 rays / program
@@ -63,12 +76,15 @@ _BLOCK_SUBLANES = 64              # 64 x 128 = 8192 rays / program
 
 @functools.partial(jax.jit, static_argnames=())
 def build_skip_table(tree: N3Tree, sigma_thresh) -> jax.Array:
-    """Pack the level-4 skippability table: i32 [8, 128].
+    """Pack the two-level skippability table: i32 [16, 128].
 
-    Entry nibble for cell (cx, cy, cz) (x-major, like the leaf map):
-    bit 3 = skippable (leaf at depth <= 4 with sigma <= sigma_thresh),
-    bits 0-2 = leaf depth (march step granularity).  Cells covered by
-    deeper subtrees get nibble 0 (not skippable).
+    Rows 0-7 — level-4 nibbles for cell (cx, cy, cz) (x-major, like the
+    leaf map): bit 3 = skippable (leaf at depth <= 4 with sigma <=
+    sigma_thresh), bits 0-2 = leaf depth (march step granularity).
+    Cells covered by deeper subtrees get nibble 0 (not skippable).
+    Rows 8-15 — level-5 bits: 1 iff the level-5 cell is a leaf at depth
+    exactly 5 with sigma <= sigma_thresh (depth <= 4 leaves are handled
+    by the nibble level, so the bit needs no depth field).
     """
     from .accel import _build_rows, _f16_bits_to_f32, _INTERNAL_BIT, \
         _DEPTH_BITS
@@ -81,11 +97,22 @@ def build_skip_table(tree: N3Tree, sigma_thresh) -> jax.Array:
         & (depth <= 7)
     nib = jnp.where(skip, (1 << 3) | depth, 0).astype(jnp.int32)
     shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :]
-    words = jnp.sum(nib.reshape(_N_WORDS, 8) << shifts, axis=1)
-    words = jnp.concatenate(
-        [words, jnp.zeros((_TABLE_SHAPE[0] * _TABLE_SHAPE[1] - _N_WORDS,),
-                          jnp.int32)])
-    return words.reshape(_TABLE_SHAPE)
+    words4 = jnp.sum(nib.reshape(_N_WORDS, 8) << shifts, axis=1)
+    words4 = jnp.concatenate(
+        [words4, jnp.zeros((8 * 128 - _N_WORDS,), jnp.int32)])
+
+    rows5 = _build_rows(tree, 5, 0)                   # [32768, 2]
+    meta5 = rows5[:, 1]
+    depth5 = meta5 & _DEPTH_BITS
+    internal5 = (meta5 & _INTERNAL_BIT) != 0
+    sigma5 = _f16_bits_to_f32((meta5 >> 16) & 0xFFFF)
+    bit5 = ((~internal5) & (depth5 == 5)
+            & (sigma5 <= jnp.float32(sigma_thresh))).astype(jnp.int32)
+    # disjoint bit positions: sum == bitwise or (and i32 sum with bit 31
+    # set wraps to the sign bit, which is still the correct bit pattern)
+    shifts5 = jnp.arange(32, dtype=jnp.int32)[None, :]
+    words5 = jnp.sum(bit5.reshape(_N_WORDS5, 32) << shifts5, axis=1)
+    return jnp.concatenate([words4, words5]).reshape(_TABLE_SHAPE)
 
 
 def _prepass_kernel(scal_ref, table_ref, dx_ref, dy_ref, dz_ref,
@@ -109,13 +136,14 @@ def _prepass_kernel(scal_ref, table_ref, dx_ref, dy_ref, dz_ref,
     table = table_ref[:]
     eps_hi = jnp.float32(1.0 - 1e-6)
     gridf = jnp.float32(_GRID)
+    gridf5 = jnp.float32(_GRID5)
 
-    def lookup(word):
+    def lookup(word, base):
         lane = word & 127
         row = word >> 7
         val = jnp.zeros_like(word)
         for r in range(8):
-            bv = jnp.broadcast_to(table[r][None, :], lane.shape)
+            bv = jnp.broadcast_to(table[base + r][None, :], lane.shape)
             g = jnp.take_along_axis(bv, lane, axis=1)
             val = jnp.where(row == r, g, val)
         return val
@@ -137,10 +165,17 @@ def _prepass_kernel(scal_ref, table_ref, dx_ref, dy_ref, dz_ref,
         cy = jnp.floor(py * gridf).astype(jnp.int32)
         cz = jnp.floor(pz * gridf).astype(jnp.int32)
         idx = (cx * _GRID + cy) * _GRID + cz
-        word = lookup(idx >> 3)
+        word = lookup(idx >> 3, 0)
         nib = (word >> ((idx & 7) * 4)) & 15
-        skip = (nib & 8) != 0
-        depth = nib & 7
+        skip4 = (nib & 8) != 0
+        c5x = jnp.floor(px * gridf5).astype(jnp.int32)
+        c5y = jnp.floor(py * gridf5).astype(jnp.int32)
+        c5z = jnp.floor(pz * gridf5).astype(jnp.int32)
+        idx5 = (c5x * _GRID5 + c5y) * _GRID5 + c5z
+        word5 = lookup(idx5 >> 5, 8)
+        bit5 = ((word5 >> (idx5 & 31)) & 1) != 0
+        skip = skip4 | bit5
+        depth = jnp.where(skip4, nib & 7, 5)
         cube = jnp.exp2(depth.astype(jnp.float32))
         ux = px * cube
         uy = py * cube

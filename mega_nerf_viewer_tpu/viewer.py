@@ -66,9 +66,12 @@ class Viewer:
         # frames use per-segment budgets (ops/accel.DEFAULT_SEGMENTS)
         # and both escalate on overflow
         self.fast_max_dense = 8
-        # 16k chunks: tighter per-tile max-step bound than 32k at equal
-        # gather throughput (measured ~240 vs ~296 ms/frame at 1080p)
-        self.fast_chunk_size = 1 << 14
+        # 2k chunks: the march's while loop runs to each chunk's
+        # max-step count, so small chunks waste far fewer lane-steps
+        # (measured chunk-max/true-step waste 1.86x at 16k vs 1.22x at
+        # 4k; 2048 was the 1080p frame-time minimum at equal gather
+        # throughput)
+        self.fast_chunk_size = 1 << 11
         self._leaf_map = None
         # torch::manual_seed(42) analogue (main.cpp:522)
         import jax
@@ -285,7 +288,7 @@ class Viewer:
                 # fresh ordering hints — a fast-path frame, never the
                 # exact full-frame cliff
                 self._segments = [
-                    (f, min(md * 2, 128) if ov[min(i, len(ov) - 1)]
+                    (f, min(max(1, md * 2), 128) if ov[min(i, len(ov) - 1)]
                      else md) for i, (f, md) in enumerate(segments)]
                 order = None
             else:

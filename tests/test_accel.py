@@ -388,3 +388,63 @@ def test_skip_table_thresh_semantics():
     # raising the threshold can only make MORE cells skippable
     assert nskip(hi) >= nskip(lo)
     assert nskip(hi) > 0
+
+
+def test_entry_skip_level5_bits_bit_exact():
+    """The level-5 bit rows of the skip table engage on trees deeper
+    than 5 (depth-5 empty leaves under internal level-4 cells) and the
+    prepass stays bit-exact and strictly faster."""
+    from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
+    tree = sphere_tree(basis_dim=1, depth=6)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(48, 48, 45.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    tab = np.asarray(build_skip_table(tree, opt.sigma_thresh))
+    assert tab.shape == (16, 128)
+    assert np.any(tab[8:] != 0), "level-5 bit rows never engaged"
+    # zero out the level-5 rows: pixels must match bit-for-bit, with
+    # the full table taking no more march steps
+    tab4 = tab.copy()
+    tab4[8:] = 0
+    a = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                chunk_size=256, block=16,
+                                skip_table=jnp.asarray(tab4))
+    b = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                chunk_size=256, block=16,
+                                skip_table=jnp.asarray(tab))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert int(np.asarray(b[2]).sum()) <= int(np.asarray(a[2]).sum())
+
+
+def test_zero_record_segment():
+    """max_dense == 0 segments: rays that record nothing render
+    closed-form (no record buffers / shading gather) and stay
+    pixel-identical; any dense sample in such a segment raises its
+    overflow flag so stale hints escalate."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 24.0)   # wide FOV: many rays miss the sphere
+    cam.center = np.array([-1.6, 0.3, 1.5], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    img0, _, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True)
+    nrec_np = np.asarray(nrec)
+    assert (nrec_np == 0).mean() > 0.25   # fixture has empty rays
+    order = accel.order_from_hints(steps, nrec)
+    # zero-record fraction sized under the true empty fraction
+    frac0 = (np.floor((nrec_np == 0).mean() * 16) / 16) - 1 / 16
+    img1, seg_ov = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((frac0, 0), (1 - frac0, 16)), chunk_size=cs)
+    assert not bool(np.asarray(seg_ov).any())
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    # oversized zero segment catches recording rays via overflow
+    _, seg_ov2 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((0.875, 0), (0.125, 16)), chunk_size=cs)
+    assert bool(np.asarray(seg_ov2)[0])
