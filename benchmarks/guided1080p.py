@@ -45,9 +45,11 @@ def main():
     # warm compile
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                           chunk_size=1 << 15)
+    float(cache["results_c"].sum())     # force
     t0 = time.perf_counter()
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                           chunk_size=1 << 15)
+    float(cache["results_c"].sum())     # force device completion
     invalidation_ms = (time.perf_counter() - t0) * 1000.0
     n_samples = int(np.asarray(cache["num_samples"]).sum())
 
@@ -57,13 +59,13 @@ def main():
         return float(img.sum())
 
     results = {}
-    for name, up in (("composite_xla_ms", False),
-                     ("composite_pallas_ms", True)):
-        comp(up)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            comp(up)
-        results[name] = round((time.perf_counter() - t0) / 3 * 1000, 1)
+    # compact device-resident cache -> segmented-scan compositor
+    comp(False)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        comp(False)
+    results["composite_compact_ms"] = round(
+        (time.perf_counter() - t0) / 3 * 1000, 1)
 
     print(json.dumps({
         "metric": "guided_sampling_1080p",

@@ -227,20 +227,22 @@ def test_fast_collection_matches_exact():
     ns = np.asarray(cache_exact["num_samples"])
     S = np.asarray(cache_exact["z_vals"]).shape[1]
     valid = np.arange(S)[None, :] < ns[:, None]
+    total = int(ns.sum())
+    # compact layout is ray-major: valid rows align with padded[valid]
     np.testing.assert_allclose(
-        np.asarray(cache_fast["z_vals"])[valid],
+        np.asarray(cache_fast["z_c"])[:total],
         np.asarray(cache_exact["z_vals"])[valid], atol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(cache_fast["results"])[valid],
+        np.asarray(cache_fast["results_c"])[:total],
         np.asarray(cache_exact["results"])[valid], rtol=1e-4, atol=1e-4)
-    # composited frames agree
+    # composited frames agree (padded cumprod vs compact segmented scan)
     img_a = np.asarray(guided.composite_frame(tree, cam, opt, cache_exact))
     img_b = np.asarray(guided.composite_frame(tree, cam, opt, cache_fast))
     np.testing.assert_allclose(img_a, img_b, atol=1e-4)
-    # and through the Pallas compositor
-    img_c = np.asarray(guided.composite_frame(tree, cam, opt, cache_fast,
+    # and the padded cache through the Pallas compositor
+    img_c = np.asarray(guided.composite_frame(tree, cam, opt, cache_exact,
                                               use_pallas=True))
-    np.testing.assert_allclose(img_c, img_b, atol=1e-4)
+    np.testing.assert_allclose(img_c, img_a, atol=1e-4)
 
 
 def test_fast_collection_appearance_embedding():
@@ -265,5 +267,5 @@ def test_fast_collection_appearance_embedding():
     S = np.asarray(cache_exact["z_vals"]).shape[1]
     valid = np.arange(S)[None, :] < ns[:, None]
     np.testing.assert_allclose(
-        np.asarray(cache_fast["results"])[valid],
+        np.asarray(cache_fast["results_c"])[:int(ns.sum())],
         np.asarray(cache_exact["results"])[valid], rtol=1e-4, atol=1e-4)
