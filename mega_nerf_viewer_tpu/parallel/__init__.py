@@ -3,11 +3,12 @@ from .render import (render_frame_sharded, render_rays_sharded,
                      render_frame_fast_sharded, render_rays_fast_sharded)
 from .model import tp_param_specs, mlp_forward_tp, mlp_forward_all_tp
 from .step import make_frame_refine_step
+from .guided import guided_frame_sharded
 
 __all__ = [
     "make_mesh", "default_mesh", "RAY_AXIS", "MODEL_AXIS",
     "render_frame_sharded", "render_rays_sharded",
     "render_frame_fast_sharded", "render_rays_fast_sharded",
     "tp_param_specs", "mlp_forward_tp", "mlp_forward_all_tp",
-    "make_frame_refine_step",
+    "make_frame_refine_step", "guided_frame_sharded",
 ]

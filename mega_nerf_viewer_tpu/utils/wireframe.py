@@ -9,6 +9,11 @@ surfaces: the line depth becomes the per-ray ``tmax_bg``
 (renderer_kernel.cu:277-280) and the line color is the pre-existing
 framebuffer color read by ``composite_and_write``
 (renderer_kernel.cu:260-263).
+
+Segments crossing the near plane are CLIPPED at it in camera space (the
+GL clipper's behavior) and depth is interpolated perspective-correctly
+along the screen-space line, matching the GL rasterizer's varying
+interpolation of ``FragPos`` (the shader stores ``length(FragPos.xyz)``).
 """
 
 from __future__ import annotations
@@ -20,6 +25,8 @@ import numpy as np
 # The 12 edges of a box as corner-index pairs (corners indexed by xyz bits)
 _EDGES = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
           (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+
+_Z_NEAR = np.float32(1e-3)
 
 
 def rasterize_boxes(boxes: np.ndarray, camera,
@@ -38,8 +45,6 @@ def rasterize_boxes(boxes: np.ndarray, camera,
     which writes ``length(FragPos.xyz)`` to its depth attachment and
     black unlit vertex color for the wire grid (``src/mesh.cpp`` frag
     shader; ``_push_wireframe_bb`` zero color, ``n3tree.cpp:249-259``).
-    Lines with an endpoint behind the near plane are dropped rather than
-    clipped (debug overlay approximation).
     """
     h, w = camera.height, camera.width
     color_buf = np.zeros((h, w, 3), np.float32)
@@ -55,48 +60,70 @@ def rasterize_boxes(boxes: np.ndarray, camera,
 
     w2c = camera.w2c  # [4,4]
     cam_pts = corners @ w2c[:3, :3].T + w2c[:3, 3]      # [n, 8, 3]
-    # projection denominator: -z (camera looks along -z); stored depth is
-    # the Euclidean distance like the reference shader
-    z = -cam_pts[..., 2]
-    dist = np.linalg.norm(cam_pts, axis=-1)
-    # project with pinhole intrinsics (screen2worlddir inverse)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        px = camera.cx + camera.fx * (cam_pts[..., 0] / z)
-        py = camera.cy - camera.fy * (cam_pts[..., 1] / z)
-
-    col = np.asarray(color, np.float32)
-    for a, b in _EDGES:
-        _draw_lines(color_buf, depth_buf,
-                    px[:, a], py[:, a], z[:, a], dist[:, a],
-                    px[:, b], py[:, b], z[:, b], dist[:, b], col)
+    ea = np.array([a for a, _ in _EDGES])
+    eb = np.array([b for _, b in _EDGES])
+    p0 = cam_pts[:, ea].reshape(-1, 3)                  # [n*12, 3]
+    p1 = cam_pts[:, eb].reshape(-1, 3)
+    draw_lines_cam(color_buf, depth_buf, p0, p1, camera,
+                   np.asarray(color, np.float32))
     return color_buf, depth_buf
 
 
-def _draw_lines(color_buf, depth_buf, x0, y0, z0, d0, x1, y1, z1, d1,
-                col):
-    """Depth-tested DDA line drawing (vectorized over segments)."""
+def draw_lines_cam(color_buf, depth_buf, p0, p1, camera, col):
+    """Depth-tested line rasterization of camera-space segments.
+
+    Fully vectorized over segments AND steps (the round-1 version looped
+    per segment in Python — thousands of interpreter-level draws per
+    cache miss at deep grid levels).  Near-plane crossing segments are
+    clipped at z == _Z_NEAR in camera space before projection; depth is
+    the perspective-correct Euclidean distance along the line.
+    """
     h, w = depth_buf.shape
-    valid = (z0 > 1e-3) & (z1 > 1e-3)
-    x0, y0, z0 = x0[valid], y0[valid], d0[valid]
-    x1, y1, z1 = x1[valid], y1[valid], d1[valid]
-    if len(x0) == 0:
+    z0 = -p0[:, 2]
+    z1 = -p1[:, 2]
+    keep = (z0 > _Z_NEAR) | (z1 > _Z_NEAR)
+    p0, p1, z0, z1 = p0[keep], p1[keep], z0[keep], z1[keep]
+    if len(p0) == 0:
         return
+    # clip the behind endpoint to the near plane (lerp in camera space)
+    denom = np.where(z1 == z0, 1.0, z1 - z0)
+    tc = (_Z_NEAR - z0) / denom
+    clip0 = z0 <= _Z_NEAR
+    clip1 = z1 <= _Z_NEAR
+    pc = p0 + (p1 - p0) * tc[:, None]
+    p0 = np.where(clip0[:, None], pc, p0)
+    p1 = np.where(clip1[:, None], pc, p1)
+    z0 = np.maximum(z0, _Z_NEAR)
+    z1 = np.maximum(z1, _Z_NEAR)
+
+    x0 = camera.cx + camera.fx * (p0[:, 0] / z0)
+    y0 = camera.cy - camera.fy * (p0[:, 1] / z0)
+    x1 = camera.cx + camera.fx * (p1[:, 0] / z1)
+    y1 = camera.cy - camera.fy * (p1[:, 1] / z1)
+    d0 = np.linalg.norm(p0, axis=-1)
+    d1 = np.linalg.norm(p1, axis=-1)
+
     length = np.maximum(np.abs(x1 - x0), np.abs(y1 - y0))
     n_steps = np.clip(length.astype(np.int64) + 1, 1, 4 * max(h, w))
-    max_n = int(n_steps.max())
-    ts = np.arange(max_n + 1, dtype=np.float32)
-    for i in range(len(x0)):
-        n = int(n_steps[i])
-        t = ts[:n + 1] / n
-        xs = np.round(x0[i] + (x1[i] - x0[i]) * t).astype(np.int64)
-        ys = np.round(y0[i] + (y1[i] - y0[i]) * t).astype(np.int64)
-        zs = z0[i] + (z1[i] - z0[i]) * t
-        ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
-        xs, ys, zs = xs[ok], ys[ok], zs[ok]
-        nearer = zs < depth_buf[ys, xs]
-        xs, ys, zs = xs[nearer], ys[nearer], zs[nearer]
-        depth_buf[ys, xs] = zs
-        color_buf[ys, xs] = col
+    # flatten (segment, step) pairs: seg_of[k], step_of[k]
+    total = int(n_steps.sum()) + len(n_steps)
+    seg_of = np.repeat(np.arange(len(n_steps)), n_steps + 1)
+    ends = np.cumsum(n_steps + 1)
+    step_of = np.arange(total) - np.repeat(ends - (n_steps + 1),
+                                           n_steps + 1)
+    t = step_of / n_steps[seg_of]                        # [total] in [0,1]
+    xs = np.round(x0[seg_of] + (x1 - x0)[seg_of] * t).astype(np.int64)
+    ys = np.round(y0[seg_of] + (y1 - y0)[seg_of] * t).astype(np.int64)
+    # perspective-correct depth: lerp(p/z) / lerp(1/z), GL-style
+    iz = (1.0 - t) / z0[seg_of] + t / z1[seg_of]
+    dz = (1.0 - t) * (d0 / z0)[seg_of] + t * (d1 / z1)[seg_of]
+    zs = (dz / iz).astype(np.float32)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    xs, ys, zs = xs[ok], ys[ok], zs[ok]
+    # two-pass depth test: min-reduce, then write color where we won
+    np.minimum.at(depth_buf, (ys, xs), zs)
+    won = zs <= depth_buf[ys, xs]
+    color_buf[ys[won], xs[won]] = col
 
 
 def grid_overlay(tree, camera, grid_max_depth: int):

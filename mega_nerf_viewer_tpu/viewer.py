@@ -73,6 +73,9 @@ class Viewer:
         # throughput)
         self.fast_chunk_size = 1 << 11
         self._leaf_map = None
+        # extra overlay meshes (triangles/lines/points, utils.mesh.Mesh)
+        # composited like the reference GL mesh layer (mesh.cpp:135-166)
+        self.meshes = []
         # torch::manual_seed(42) analogue (main.cpp:522)
         import jax
         self._rng_key = jax.random.PRNGKey(42)
@@ -176,17 +179,18 @@ class Viewer:
         if opt.use_guided_sampling and not cam.is_dragging() \
                 and self.model is not None:
             img, res = self._render_guided(track_visit)
-        elif opt.show_grid:
+        elif opt.show_grid or self.meshes:
             with self.timer.time("render"):
                 img, res = self._render_with_grid(track_visit)
         elif self.use_fast_path and self.tree.N == 2 \
-                and not track_visit and (
-                self._leaf_map is not None or not needs_votes):
+                and not track_visit:
             # leaf-map accelerated path (votes included when refining;
             # only visit-tracking frames need the exact march).  During
-            # continuous splitting each expand invalidates the map, so
-            # refinement frames only go fast while the map is fresh —
-            # rebuilding it per frame would cost more than it saves.
+            # continuous splitting each expand invalidates the map and
+            # the next frame rebuilds it inside _render_fast — the
+            # level-wise build (~0.3 s at level 8 on v5e) is ~50x
+            # cheaper than the exact 1080p fallback frame (~19 s), so
+            # refinement sessions never leave the fast march.
             with self.timer.time("render"):
                 img, res = self._render_fast(need_votes=needs_votes)
         else:
@@ -344,16 +348,28 @@ class Viewer:
         from .ops.rays import screen2worlddir, rodrigues
         cam = self.camera
         opt = self.options
-        key = (opt.grid_max_depth, id(self.tree),
-               cam.transform.tobytes(), cam.fx, cam.fy,
-               cam.width, cam.height)
-        cache = getattr(self, "_grid_cache", None)
-        if cache is None or cache[0] != key:
-            with self.timer.time("gen_wire"):
-                overlay_rgb, overlay_depth = grid_overlay(
-                    self.tree, cam, opt.grid_max_depth)
-            self._grid_cache = (key, overlay_rgb, overlay_depth)
-        _, overlay_rgb, overlay_depth = self._grid_cache
+        if opt.show_grid:
+            key = (opt.grid_max_depth, id(self.tree),
+                   cam.transform.tobytes(), cam.fx, cam.fy,
+                   cam.width, cam.height)
+            cache = getattr(self, "_grid_cache", None)
+            if cache is None or cache[0] != key:
+                with self.timer.time("gen_wire"):
+                    overlay_rgb, overlay_depth = grid_overlay(
+                        self.tree, cam, opt.grid_max_depth)
+                self._grid_cache = (key, overlay_rgb, overlay_depth)
+            _, overlay_rgb, overlay_depth = self._grid_cache
+        else:
+            overlay_rgb = np.zeros((cam.height, cam.width, 3), np.float32)
+            overlay_depth = np.full((cam.height, cam.width), 1e9,
+                                    np.float32)
+        if self.meshes:
+            # mesh layer drawn over/under the grid by depth, exactly like
+            # the reference's shared MRT framebuffer (mesh.cpp:135-166)
+            overlay_rgb = overlay_rgb.copy()
+            overlay_depth = overlay_depth.copy()
+            for m in self.meshes:
+                m.draw(cam, overlay_rgb, overlay_depth)
         dirs, cen = screen2worlddir(
             cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
             jnp.asarray(cam.transform))

@@ -168,3 +168,36 @@ def test_cli_sharded_smoke(tmp_path, eight_devices):
     assert rc == 0
     from mega_nerf_viewer_tpu.utils import read_png
     assert read_png(out).shape == (16, 16, 4)
+
+
+def test_guided_frame_sharded_matches_single():
+    """Sharded guided pipeline (collect/compact/MLP/composite local per
+    shard) == the single-device compact path, pixel for pixel."""
+    from mega_nerf_viewer_tpu import parallel
+    from mega_nerf_viewer_tpu.ops import accel, guided
+    from mega_nerf_viewer_tpu.models import MegaNeRFModel
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lm = accel.build_leaf_map(tree)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1),
+        need_viewdir=True)
+    opt = RenderOptions(max_guided_samples=16, need_viewdir=True,
+                        use_guided_sampling=True)
+    cam = Camera(16, 16, 18.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    mesh = parallel.make_mesh((4,), (parallel.RAY_AXIS,),
+                              jax.devices()[:4])
+    img_s, overflow = parallel.guided_frame_sharded(
+        tree, lm, model, cam, opt, mesh, budget=1 << 12)
+    assert not overflow
+    cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                          chunk_size=0)
+    img_1 = guided.composite_frame(tree, cam, opt, cache)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
+                               atol=1e-5)
+    # under-budget shards raise the overflow flag
+    _, overflow2 = parallel.guided_frame_sharded(
+        tree, lm, model, cam, opt, mesh, budget=1)
+    assert overflow2
