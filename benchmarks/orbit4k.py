@@ -35,6 +35,8 @@ def main():
     tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
     leaf_map = accel.build_leaf_map(tree)
     opt = RenderOptions()
+    from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
+    skip_table = build_skip_table(tree, opt.sigma_thresh)
     mesh = parallel.make_mesh((len(jax.devices()),),
                               (parallel.RAY_AXIS,))
 
@@ -45,7 +47,7 @@ def main():
     def frame():
         img, overflow = parallel.render_frame_fast_sharded(
             tree, leaf_map, cam, opt, mesh, max_dense=8,
-            chunk_size=1 << 15)
+            chunk_size=1920, skip_table=skip_table)
         return float(img.sum()), bool(overflow)
 
     csum, ov = frame()   # compile

@@ -74,7 +74,7 @@ def render_rays_sharded(tree: N3Tree,
 @functools.lru_cache(maxsize=32)
 def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
                           max_dense: int, chunk_size: int,
-                          tree_treedef, lm_treedef):
+                          tree_treedef, lm_treedef, has_skip: bool):
     """Build + jit the sharded fast-march program once per
     (mesh, options, shapes) — rebuilding the shard_map per frame would
     re-trace and recompile every call."""
@@ -83,18 +83,21 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
         tree_treedef, [P()] * tree_treedef.num_leaves)
     lm_spec = jax.tree_util.tree_unflatten(
         lm_treedef, [P()] * lm_treedef.num_leaves)
+    skip_spec = (P(),) if has_skip else ()
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(RAY_AXIS), P()),
+        in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(RAY_AXIS), P())
+        + skip_spec,
         out_specs=FastRenderResult(P(RAY_AXIS), P(), P(RAY_AXIS),
                                    P(), P(), P(RAY_AXIS)),
         check_vma=False)
-    def _run(tree, lm, dirs, vdirs, cen):
+    def _run(tree, lm, dirs, vdirs, cen, *skip):
         res = render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
                                max_dense=max_dense,
-                               chunk_size=chunk_size)
+                               chunk_size=chunk_size,
+                               skip_table=skip[0] if skip else None)
         overflow = jax.lax.pmax(res.overflow.astype(jnp.int32), RAY_AXIS)
         other = tuple(n for n in mesh.axis_names if n != RAY_AXIS)
         if other:
@@ -112,21 +115,28 @@ def render_rays_fast_sharded(tree: N3Tree, leaf_map,
                              opt: RenderOptions,
                              mesh: Mesh,
                              max_dense: int = 32,
-                             chunk_size: int = 0):
+                             chunk_size: int = 0,
+                             skip_table: Optional[jax.Array] = None):
     """Leaf-map fast march with rays sharded over the 'rays' mesh axis
-    (tree + leaf map replicated per chip — BASELINE config 5 layout)."""
+    (tree + leaf map replicated per chip — BASELINE config 5 layout).
+    ``skip_table`` enables the Pallas entry-skip prepass per shard."""
     run = _fast_sharded_program(
         mesh, opt, max_dense, chunk_size,
         jax.tree_util.tree_structure(tree),
-        jax.tree_util.tree_structure(leaf_map))
-    return run(tree, leaf_map, dirs, vdirs, cen_world)
+        jax.tree_util.tree_structure(leaf_map),
+        skip_table is not None)
+    args = (tree, leaf_map, dirs, vdirs, cen_world)
+    if skip_table is not None:
+        args += (skip_table,)
+    return run(*args)
 
 
 def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
                               opt: RenderOptions,
                               mesh: Optional[Mesh] = None,
                               max_dense: int = 32,
-                              chunk_size: int = 0):
+                              chunk_size: int = 0,
+                              skip_table: Optional[jax.Array] = None):
     """Full sharded fast frame (4K orbit-batch layout).  Returns
     ([H, W, 4] f32, overflow bool)."""
     from ..ops.render import composite_background
@@ -146,7 +156,8 @@ def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
         vdirs = jnp.concatenate([vdirs, jnp.tile(vdirs[-1:], (pad, 1))])
     res = render_rays_fast_sharded(tree, leaf_map, dirs, vdirs, cen,
                                    opt, mesh, max_dense=max_dense,
-                                   chunk_size=chunk_size)
+                                   chunk_size=chunk_size,
+                                   skip_table=skip_table)
     img = composite_background(res.out[:R], opt)
     return img.reshape(h, w, 4), res.overflow
 

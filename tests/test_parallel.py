@@ -201,3 +201,27 @@ def test_guided_frame_sharded_matches_single():
     _, overflow2 = parallel.guided_frame_sharded(
         tree, lm, model, cam, opt, mesh, budget=1)
     assert overflow2
+
+
+def test_fast_sharded_with_skip_table():
+    """The sharded fast march accepts the Pallas skip table (interpret
+    mode on CPU) and matches the unsharded path."""
+    from mega_nerf_viewer_tpu import parallel
+    from mega_nerf_viewer_tpu.ops import accel
+    from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lm = accel.build_leaf_map(tree)
+    opt = RenderOptions()
+    tab = build_skip_table(tree, opt.sigma_thresh)
+    cam = Camera(16, 16, 18.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    mesh = parallel.make_mesh((4,), (parallel.RAY_AXIS,),
+                              jax.devices()[:4])
+    img_s, ov = parallel.render_frame_fast_sharded(
+        tree, lm, cam, opt, mesh, max_dense=16, skip_table=tab)
+    assert not bool(ov)
+    img_1 = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                    chunk_size=0, skip_table=tab)[0]
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
+                               atol=1e-6)
