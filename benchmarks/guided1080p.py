@@ -32,6 +32,7 @@ def main():
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     tree = shell_tree(depth=8, basis_dim=1, sigma_inside=400.0)
     lm = accel.build_leaf_map(tree)
+    from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
     model = MegaNeRFModel.synthetic(
         data_dim=4, n_clusters=8, hidden=256, n_layers=8,
         grid_dim=(2, 4), min_position=(-1.5, -1.5, -1.5),
@@ -42,13 +43,16 @@ def main():
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
+    skip_table = build_skip_table(tree, opt.sigma_thresh)
     # warm compile
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
-                                          chunk_size=1 << 15)
+                                          chunk_size=1920,
+                                          skip_table=skip_table)
     float(cache["results_c"].sum())     # force
     t0 = time.perf_counter()
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
-                                          chunk_size=1 << 15)
+                                          chunk_size=1920,
+                                          skip_table=skip_table)
     float(cache["results_c"].sum())     # force device completion
     invalidation_ms = (time.perf_counter() - t0) * 1000.0
     n_samples = int(np.asarray(cache["num_samples"]).sum())

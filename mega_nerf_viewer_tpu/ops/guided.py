@@ -247,13 +247,18 @@ def composite_results(results: jax.Array,      # [R, S, out_dim]
     jax.jit, static_argnames=("opt", "chunk_size"))
 def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
                    cen_world: jax.Array, opt: RenderOptions,
-                   chunk_size: int = 0):
+                   chunk_size: int = 0,
+                   skip_table=None):
     """March with the dense leaf map, recording only the tree-space ray
     parameter ``t`` of each recorded sample (one f32 per slot via
     one-hot select — TPU scatter is pathological).  The full sample rows
     (z, world position, viewdir, appearance, cluster id) are exactly
     reconstructible from t (rt_core.cuh:514-528 derives them all from
     t), so this is the TPU-fast equivalent of :func:`collect_samples`.
+
+    ``skip_table`` runs the Pallas entry-skip prepass first (bit-exact
+    t trajectory — ops/pallas_march.py); sample records are unaffected
+    because skipped cells are by construction below ``sigma_thresh``.
 
     Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32).
     """
@@ -274,6 +279,11 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
     invdir = 1.0 / (d + jnp.float32(1e-9))
     tmin, tmax = _dda_world_batch(cen, invdir, opt.render_bbox)
     miss = (tmax < 0) | (tmin > tmax)
+    if skip_table is not None:
+        from .pallas_march import entry_skip_prepass
+        tmin = entry_skip_prepass(skip_table, cen, d, invdir,
+                                  tmin, tmax, ~miss,
+                                  jnp.float32(opt.step_size))
 
     def march_chunk(args):
         cen_c, d_c, invdir_c, ds_c, tmin_c, tmax_c, miss_c = args
@@ -555,7 +565,8 @@ def _composite_frame_compact_jit(res_c, z_c, ray_of_p, offs, ns,
 
 
 def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
-                           opt: RenderOptions, chunk_size: int = 1 << 15):
+                           opt: RenderOptions, chunk_size: int = 1 << 15,
+                           skip_table=None):
     """Leaf-map accelerated guided collection + MLP query, fully
     device-resident (reference invalidation path,
     cuda_renderer.cpp:107-134).
@@ -572,7 +583,8 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     """
     if model._torch_modules is not None:
         return _collect_and_query_fast_host(tree, leaf_map, model,
-                                            camera, opt, chunk_size)
+                                            camera, opt, chunk_size,
+                                            skip_table=skip_table)
     dirs, cen = screen2worlddir(
         camera.width, camera.height, camera.fx, camera.fy,
         camera.cx, camera.cy, jnp.asarray(camera.transform))
@@ -581,7 +593,8 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     dirs_p = dirs if not pad else jnp.concatenate(
         [dirs, jnp.tile(dirs[-1:], (pad, 1))])
     t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
-                               chunk_size=chunk_size)
+                               chunk_size=chunk_size,
+                               skip_table=skip_table)
     t_buf, ns = t_buf[:R], ns[:R]
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     total = int(jnp.sum(ns))                 # one scalar fetch
@@ -603,7 +616,8 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
 
 def _collect_and_query_fast_host(tree: N3Tree, leaf_map, model, camera,
                                  opt: RenderOptions,
-                                 chunk_size: int = 1 << 15):
+                                 chunk_size: int = 1 << 15,
+                                 skip_table=None):
     """Host-reconstruction variant of :func:`collect_and_query_fast`
     (eager-torch model fallback).
 
@@ -621,7 +635,8 @@ def _collect_and_query_fast_host(tree: N3Tree, leaf_map, model, camera,
     dirs_p = dirs if not pad else jnp.concatenate(
         [dirs, jnp.tile(dirs[-1:], (pad, 1))])
     t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
-                               chunk_size=chunk_size)
+                               chunk_size=chunk_size,
+                               skip_table=skip_table)
     vd = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
 
     t_np = np.asarray(t_buf)[:R]

@@ -162,6 +162,110 @@ def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
     return img.reshape(h, w, 4), res.overflow
 
 
+@functools.lru_cache(maxsize=32)
+def _fast_segmented_sharded_program(mesh: Mesh, opt: RenderOptions,
+                                    seg_counts, chunk_size: int,
+                                    width: int, tree_treedef,
+                                    lm_treedef, has_skip: bool):
+    from ..ops.accel import render_rays_fast
+    from ..ops.rays import screen2worlddir_indices, rodrigues
+    tree_spec = jax.tree_util.tree_unflatten(
+        tree_treedef, [P()] * tree_treedef.num_leaves)
+    lm_spec = jax.tree_util.tree_unflatten(
+        lm_treedef, [P()] * lm_treedef.num_leaves)
+    skip_spec = (P(),) if has_skip else ()
+    other = tuple(n for n in mesh.axis_names if n != RAY_AXIS)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(), P(), P())
+        + skip_spec,
+        out_specs=(P(RAY_AXIS), P()),
+        check_vma=False)
+    def _run(tree, lm, pix, transform, intr, rot_dirs, *skip):
+        # raygen local to the shard: arithmetic on pixel indices
+        dirs_p, cen = screen2worlddir_indices(
+            pix, width, intr[0], intr[1], intr[2], intr[3], transform)
+        vdirs_p = rodrigues(rot_dirs, dirs_p)
+        outs, ovs = [], []
+        off = 0
+        for c_chunks, md in seg_counts:
+            n = c_chunks * chunk_size
+            sl = slice(off, off + n)
+            res = render_rays_fast(
+                tree, lm, dirs_p[sl], vdirs_p[sl], cen, opt,
+                max_dense=md,
+                chunk_size=chunk_size if c_chunks > 1 else 0,
+                skip_table=skip[0] if skip else None)
+            outs.append(res.out)
+            ovs.append(res.overflow)
+            off += n
+        out = jnp.concatenate(outs, 0)
+        seg_ov = jnp.stack(ovs).astype(jnp.int32)
+        seg_ov = jax.lax.pmax(seg_ov, RAY_AXIS)
+        if other:
+            seg_ov = jax.lax.pmax(seg_ov, other)
+        return out, seg_ov
+
+    return _run
+
+
+def render_frame_fast_segmented_sharded(
+        tree: N3Tree, leaf_map, camera, opt: RenderOptions,
+        order, segments, mesh: Optional[Mesh] = None,
+        chunk_size: int = 1920, skip_table: Optional[jax.Array] = None):
+    """Record-sorted segmented fast frame, rays sharded over the mesh.
+
+    Rays are DEALT to shards by sorted rank modulo n_shards (rank r ->
+    shard r % n), so every chip gets an equal mix of cheap and expensive
+    ray classes — a contiguous split of the sorted order would send all
+    heavy recorders to the last chip.  Within a shard rays stay sorted,
+    so the same per-segment ``max_dense`` budget fractions apply
+    locally; per-segment overflow flags are pmax-combined for the
+    caller's escalation protocol.  Raygen runs shard-local from pixel
+    indices; the only cross-chip data movement is the final unpermute
+    gather of the [R, 4] output.
+
+    Returns (img [H, W, 4], seg_overflow i32 [n_segments]).
+    """
+    from ..ops.render import composite_background
+    from ..ops.accel import segment_chunks
+    if mesh is None:
+        mesh = default_mesh()
+    n = mesh.shape[RAY_AXIS]
+    w, h = camera.width, camera.height
+    R = w * h
+    perm, inv = order
+    quantum = n * chunk_size
+    pad = (-R) % quantum
+    pix = perm if not pad else jnp.concatenate(
+        [perm, jnp.broadcast_to(perm[-1:], (pad,))])
+    Rp = R + pad
+    per = Rp // n
+    # deal by rank: shard s gets sorted ranks s, s+n, s+2n, ...
+    pix_str = pix.reshape(per, n).T.reshape(-1)
+    # a pixel at sorted rank r lands at flat position (r%n)*per + r//n
+    inv_str = (inv % n) * per + inv // n
+    seg_counts = segment_chunks(per // chunk_size, tuple(segments))
+    run = _fast_segmented_sharded_program(
+        mesh, opt, seg_counts, chunk_size, w,
+        jax.tree_util.tree_structure(tree),
+        jax.tree_util.tree_structure(leaf_map),
+        skip_table is not None)
+    transform = jnp.asarray(camera.transform)
+    intr = jnp.asarray((camera.fx, camera.fy, camera.cx, camera.cy),
+                       jnp.float32)
+    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
+    args = (tree, leaf_map, pix_str, transform, intr, rot_dirs)
+    if skip_table is not None:
+        args += (skip_table,)
+    out, seg_ov = run(*args)
+    out = jnp.take(out, inv_str, axis=0)
+    img = composite_background(out, opt)
+    return img.reshape(h, w, 4), seg_ov
+
+
 def render_frame_sharded(tree: N3Tree, camera, opt: RenderOptions,
                          mesh: Optional[Mesh] = None,
                          track_visit: bool = False):

@@ -404,9 +404,20 @@ class Viewer:
                     from .ops import accel
                     if self._leaf_map is None:
                         self._leaf_map = accel.build_leaf_map(self.tree)
+                    skip_table = None
+                    if self.use_prepass:
+                        thresh = opt.sigma_thresh
+                        if (self._skip_table is None
+                                or self._skip_thresh != thresh):
+                            from .ops.pallas_march import build_skip_table
+                            self._skip_table = build_skip_table(
+                                self.tree, thresh)
+                            self._skip_thresh = thresh
+                        skip_table = self._skip_table
                     cache = guided.collect_and_query_fast(
                         self.tree, self._leaf_map, self.model, cam, opt,
-                        chunk_size=self.fast_chunk_size)
+                        chunk_size=self.fast_chunk_size,
+                        skip_table=skip_table)
                     res = None
                 else:
                     cache, res = guided.collect_and_query(

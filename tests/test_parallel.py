@@ -225,3 +225,36 @@ def test_fast_sharded_with_skip_table():
                                     chunk_size=0, skip_table=tab)[0]
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
                                atol=1e-6)
+
+
+def test_fast_segmented_sharded_matches_single():
+    """Stride-dealt segmented sharded frame == unsegmented fast frame
+    (per-shard budgets sized like the single-device segments)."""
+    from mega_nerf_viewer_tpu import parallel
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    opt = RenderOptions()
+    cam = Camera(32, 32, 24.0)
+    cam.center = np.array([-1.6, 0.3, 1.5], np.float32)
+    cam._update()
+    img0, ov0, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=64, block=8,
+        return_nrec=True)
+    assert not bool(ov0)
+    order = accel.order_from_hints(steps, nrec)
+    mesh = parallel.make_mesh((4,), (parallel.RAY_AXIS,),
+                              jax.devices()[:4])
+    img_s, seg_ov = parallel.render_frame_fast_segmented_sharded(
+        tree, lm, cam, opt, order=order,
+        segments=((0.5, 2), (0.25, 4), (0.25, 16)), mesh=mesh,
+        chunk_size=64)
+    assert not np.asarray(seg_ov).any()
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img0),
+                               atol=1e-5)
+    # starving every budget flags overflow
+    _, seg_ov2 = parallel.render_frame_fast_segmented_sharded(
+        tree, lm, cam, opt, order=order,
+        segments=((0.5, 0), (0.25, 0), (0.25, 1)), mesh=mesh,
+        chunk_size=64)
+    assert np.asarray(seg_ov2).any()
