@@ -72,7 +72,22 @@ def main():
     save(viewer.render(), f"{outdir}/guided.png")
     viewer.key_event("r")
 
-    # 6. orbit the camera and save a session checkpoint
+    # 6. overlay meshes: the reference GL mesh layer, headless — a lit
+    #    triangle composited into the volume render by depth
+    from mega_nerf_viewer_tpu.utils.mesh import Mesh
+    tri = Mesh(face_size=3)
+    c, back = viewer.camera.center, viewer.camera.v_back
+    p = c - back * 0.6
+    r, u = viewer.camera.v_right * 0.3, viewer.camera.v_up * 0.3
+    tri.vert = np.stack([
+        np.concatenate([p - r - u, [1, 0.2, 0.2], back]),
+        np.concatenate([p + r - u, [1, 0.2, 0.2], back]),
+        np.concatenate([p + u, [1, 0.2, 0.2], back])]).astype(np.float32)
+    viewer.meshes.append(tri)
+    save(viewer.render(), f"{outdir}/mesh_overlay.png")
+    viewer.meshes.clear()
+
+    # 7. orbit the camera and save a session checkpoint
     viewer.mouse_button("right", True, 0, 0)
     viewer.cursor(60.0, 10.0)
     viewer.mouse_button("right", False, 60.0, 10.0)

@@ -21,6 +21,24 @@ is replaced by a stateful :class:`Viewer` + a functional ``render`` API and
 CLI with matching flag semantics.
 """
 
+import os as _os
+
+# Persistent jit cache: TPU compiles route through a (sometimes queued)
+# remote service and cold-process startup paid 30 s - minutes per
+# executable; with the on-disk cache a warm artifact loads in <1 s
+# (measured 29.5 s -> 0.5 s).  Respect an explicit user configuration.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+        _cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "mega_nerf_viewer_tpu",
+            "jit")
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:                        # pragma: no cover
+        pass
+
 from .version import __version__
 from .options import RenderOptions
 from .camera import Camera
