@@ -48,16 +48,16 @@ def main():
     # accel.render_frame_fast_segmented).  Overflowing segments escalate.
     max_dense = 8
     while True:
-        img, overflow, steps, nrec = accel.render_frame_fast(
+        img, overflow, steps, nrec, skips = accel.render_frame_fast(
             tree, leaf_map, cam, opt, max_dense=max_dense,
             chunk_size=1920, block=64, return_nrec=True,
-            skip_table=skip_table)
+            skip_table=skip_table, return_skips=True)
         if not bool(overflow):
             break
         max_dense *= 2
         assert max_dense <= 128, "pathological dense-sample count"
     alpha = float(np.asarray(img)[..., 3].max())
-    order = accel.order_from_hints(steps, nrec)
+    order = accel.order_from_hints(steps, nrec, skips)
     segments = list(accel.DEFAULT_SEGMENTS)
 
     def frame():

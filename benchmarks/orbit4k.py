@@ -49,11 +49,12 @@ def main():
     # hint frame at the start pose: per-ray record/step costs drive the
     # ray ordering; the order is kept FIXED across the orbit (frame
     # coherence) and any drift is caught by per-segment overflow flags
-    _, ov0, steps, nrec = accel.render_frame_fast(
+    _, ov0, steps, nrec, skips = accel.render_frame_fast(
         tree, leaf_map, cam, opt, max_dense=8, chunk_size=1920,
-        block=64, return_nrec=True, skip_table=skip_table)
+        block=64, return_nrec=True, skip_table=skip_table,
+        return_skips=True)
     assert not bool(ov0)
-    order = accel.order_from_hints(steps, nrec)
+    order = accel.order_from_hints(steps, nrec, skips)
     segments = list(accel.DEFAULT_SEGMENTS)
 
     def frame():

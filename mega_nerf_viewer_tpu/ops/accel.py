@@ -252,6 +252,8 @@ class FastRenderResult(NamedTuple):
     sample_vote: jax.Array  # [R, 3] (need_votes=True) else zeros [0, 3]
     nrec: jax.Array       # [R] i32 dense records per ray (drives the
                           # record-sorted segmented shading budgets)
+    skips: jax.Array      # [R] i32 prepass entry-skip count (0 without
+                          # skip_table; tertiary ray-sort key)
 
 
 DYN_FIELDS = ("step_size", "sigma_thresh", "stop_thresh")
@@ -348,8 +350,11 @@ def render_rays_fast(tree: N3Tree,
     miss = (tmax < 0) | (tmin > tmax)
     if skip_table is not None:
         from .pallas_march import entry_skip_prepass
-        tmin = entry_skip_prepass(skip_table, cen, d, invdir,
-                                  tmin, tmax, ~miss, step_size)
+        tmin, skips = entry_skip_prepass(skip_table, cen, d, invdir,
+                                         tmin, tmax, ~miss, step_size,
+                                         with_count=True)
+    else:
+        skips = jnp.zeros((R,), jnp.int32)
 
     if use_sh and not opt.render_depth:
         basis_all = masked_sh_basis(basis_dim, vdirs,
@@ -578,7 +583,7 @@ def render_rays_fast(tree: N3Tree,
         split_vote = jnp.zeros((0, 3), jnp.float32)
         sample_vote = jnp.zeros((0, 3), jnp.float32)
     return FastRenderResult(out, overflow, nsteps, split_vote,
-                            sample_vote, nrec)
+                            sample_vote, nrec, skips)
 
 
 @functools.partial(
@@ -616,7 +621,8 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
         pix, width, intr[0], intr[1], intr[2], intr[3], transform)
     vdirs_p = rodrigues(rot_dirs, dirs_p)
 
-    outs, ovs, svs, pvs, steps_l, nrec_l = [], [], [], [], [], []
+    outs, ovs, svs, pvs = [], [], [], []
+    steps_l, nrec_l, skips_l = [], [], []
     off = 0
     for c_chunks, md in seg_counts:
         n = c_chunks * chunk_size
@@ -634,6 +640,7 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
         if return_hints:
             steps_l.append(res.steps)
             nrec_l.append(res.nrec)
+            skips_l.append(res.skips)
         off += n
     out = jnp.take(jnp.concatenate(outs, 0)[:R], inv, axis=0)
     img = composite_background(out, opt, bg_value=bg_value)
@@ -648,6 +655,8 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             jnp.concatenate(steps_l, 0)[:R], inv, axis=0)
         ret["nrec"] = jnp.take(
             jnp.concatenate(nrec_l, 0)[:R], inv, axis=0)
+        ret["skips"] = jnp.take(
+            jnp.concatenate(skips_l, 0)[:R], inv, axis=0)
     return ret
 
 
@@ -709,15 +718,26 @@ def order_from_steps(steps) -> tuple:
     return _argsort_small_keys(np.asarray(steps))
 
 
-def order_from_hints(steps, nrec) -> tuple:
+def order_from_hints(steps, nrec, skips=None) -> tuple:
     """(perm, inv) ordering for the SEGMENTED fast path: primary key =
     dense-record count (heavy recorders cluster in the tail chunks,
     where the large ``max_dense`` segment lives), secondary = march step
-    count (uniform-cost march tiles within each record class)."""
+    count (uniform-cost march tiles within each record class), optional
+    tertiary = prepass entry-skip count (coherent prepass blocks: the
+    Pallas prepass runs block-max iterations, so grouping equal-cost
+    rays cuts its ~5x max/mean waste without touching march tiling —
+    the first two keys are preserved exactly)."""
     steps = np.asarray(steps)
     nrec = np.asarray(nrec)
-    key = (np.minimum(nrec, 255).astype(np.int32) << 12) \
-        | np.minimum(steps, 4095).astype(np.int32)
+    if skips is None:
+        key = (np.minimum(nrec, 255).astype(np.int32) << 12) \
+            | np.minimum(steps, 4095).astype(np.int32)
+        return _argsort_small_keys(key)
+    skips = np.asarray(skips)
+    # 4+9+9 = 22 bits: the native counting sort caps keys at 2^22
+    key = (np.minimum(nrec, 15).astype(np.int32) << 18) \
+        | (np.minimum(steps, 511).astype(np.int32) << 9) \
+        | np.minimum(skips, 511).astype(np.int32)
     return _argsort_small_keys(key)
 
 
@@ -744,7 +764,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
                       need_votes: bool = False,
                       dynamic_knobs: bool = False,
                       return_nrec: bool = False,
-                      skip_table: Optional[jax.Array] = None):
+                      skip_table: Optional[jax.Array] = None,
+                      return_skips: bool = False):
     """Full fast frame: reordered rays -> fast march -> composite.
 
     Ray ordering: by default rays are grouped into spatially coherent
@@ -759,7 +780,9 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     order); with ``need_votes=True`` additionally (split_vote [H*W, 3],
     sample_vote [H*W, 3]); with ``return_nrec=True`` additionally the
     per-ray dense-record counts (for :func:`order_from_hints` /
-    segmented steady-state frames) — all in pixel order.
+    segmented steady-state frames); with ``return_skips=True`` finally
+    the per-ray prepass entry-skip counts (the tertiary sort key) —
+    all in pixel order.
     """
     from .render import composite_background
     w, h = camera.width, camera.height
@@ -782,6 +805,7 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
         img = res["img"]
         overflow = res["seg_overflow"][0]
         steps = res["steps"]
+        skips = res["skips"]
         if return_nrec:
             nrec = res["nrec"]
         if need_votes:
@@ -808,6 +832,7 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
         img = out
         overflow = res.overflow
         steps = res.steps
+        skips = res.skips
         if return_nrec:
             nrec = res.nrec
         if need_votes:
@@ -818,6 +843,8 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
         ret += [split_vote, sample_vote]
     if return_nrec:
         ret.append(nrec)
+    if return_skips:
+        ret.append(skips)
     return tuple(ret)
 
 

@@ -91,7 +91,7 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
         in_specs=(tree_spec, lm_spec, P(RAY_AXIS), P(RAY_AXIS), P())
         + skip_spec,
         out_specs=FastRenderResult(P(RAY_AXIS), P(), P(RAY_AXIS),
-                                   P(), P(), P(RAY_AXIS)),
+                                   P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
         check_vma=False)
     def _run(tree, lm, dirs, vdirs, cen, *skip):
         res = render_rays_fast(tree, lm, dirs, vdirs, cen, opt,
@@ -104,7 +104,7 @@ def _fast_sharded_program(mesh: Mesh, opt: RenderOptions,
             overflow = jax.lax.pmax(overflow, other)
         return FastRenderResult(res.out, overflow.astype(bool),
                                 res.steps, res.split_vote,
-                                res.sample_vote, res.nrec)
+                                res.sample_vote, res.nrec, res.skips)
 
     return _run
 

@@ -312,17 +312,18 @@ class Viewer:
                     chunk_size=self.fast_chunk_size,
                     need_votes=need_votes,
                     dynamic_knobs=self.use_dynamic_knobs,
-                    return_nrec=True, skip_table=skip_table)
+                    return_nrec=True, skip_table=skip_table,
+                    return_skips=True)
                 overflow = bool(out[1])
                 if not overflow or md >= 128:
                     break
                 md *= 2
                 self.fast_max_dense = md
             if need_votes:
-                img, _, steps, split_vote, sample_vote, nrec = out
+                img, _, steps, split_vote, sample_vote, nrec, skips = out
             else:
-                img, _, steps, nrec = out
-            self._ray_order = accel.order_from_hints(steps, nrec)
+                img, _, steps, nrec, skips = out
+            self._ray_order = accel.order_from_hints(steps, nrec, skips)
         if overflow:
             img, res = render_frame(
                 self.tree, self.camera.width, self.camera.height,

@@ -390,32 +390,40 @@ def test_skip_table_thresh_semantics():
     assert nskip(hi) > 0
 
 
-def test_entry_skip_level5_bits_bit_exact():
-    """The level-5 bit rows of the skip table engage on trees deeper
-    than 5 (depth-5 empty leaves under internal level-4 cells) and the
-    prepass stays bit-exact and strictly faster."""
+def test_entry_skip_deep_bits_bit_exact():
+    """The level-5 and level-6 bit planes of the skip table engage on
+    trees deeper than the nibble level (depth-5/6 empty leaves under
+    internal level-4 cells) and the prepass stays bit-exact and
+    strictly faster as each plane is enabled."""
     from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
-    tree = sphere_tree(basis_dim=1, depth=6)
+    tree = sphere_tree(basis_dim=1, depth=7)
     lm = accel.build_leaf_map(tree)
     cam = Camera(48, 48, 45.0)
     cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
     cam._update()
     opt = RenderOptions()
     tab = np.asarray(build_skip_table(tree, opt.sigma_thresh))
-    assert tab.shape == (16, 128)
-    assert np.any(tab[8:] != 0), "level-5 bit rows never engaged"
-    # zero out the level-5 rows: pixels must match bit-for-bit, with
-    # the full table taking no more march steps
-    tab4 = tab.copy()
-    tab4[8:] = 0
-    a = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
-                                chunk_size=256, block=16,
-                                skip_table=jnp.asarray(tab4))
-    b = accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
-                                chunk_size=256, block=16,
-                                skip_table=jnp.asarray(tab))
+    assert tab.shape == (80, 128)
+    assert np.any(tab[8:16] != 0), "level-5 bit rows never engaged"
+    assert np.any(tab[16:] != 0), "level-6 bit rows never engaged"
+    # zero out the deep rows: pixels must match bit-for-bit, with
+    # each deeper plane taking no more march steps
+    def run(t):
+        return accel.render_frame_fast(tree, lm, cam, opt, max_dense=16,
+                                       chunk_size=256, block=16,
+                                       skip_table=jnp.asarray(t))
+    tab4 = tab.copy(); tab4[8:] = 0
+    tab5 = tab.copy(); tab5[16:] = 0
+    a = run(tab4)
+    b = run(tab5)
+    c = run(tab)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
-    assert int(np.asarray(b[2]).sum()) <= int(np.asarray(a[2]).sum())
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(c[0]))
+    s4 = int(np.asarray(a[2]).sum())
+    s5 = int(np.asarray(b[2]).sum())
+    s6 = int(np.asarray(c[2]).sum())
+    assert s5 <= s4 and s6 <= s5
+    assert s6 < s4, "deep planes eliminated no steps"
 
 
 def test_zero_record_segment():
