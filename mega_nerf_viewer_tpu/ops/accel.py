@@ -589,7 +589,7 @@ def render_rays_fast(tree: N3Tree,
 @functools.partial(
     jax.jit,
     static_argnames=("opt", "width", "seg_counts", "chunk_size", "unroll",
-                     "need_votes", "return_hints"))
+                     "need_votes", "return_hints", "group"))
 def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 perm: jax.Array, inv: jax.Array,
                 transform: jax.Array, intr: jax.Array,
@@ -598,7 +598,7 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 skip_table: Optional[jax.Array],
                 *, opt: RenderOptions, width: int,
                 seg_counts: tuple, chunk_size: int, unroll: int,
-                need_votes: bool, return_hints: bool):
+                need_votes: bool, return_hints: bool, group: int = 1):
     """One-dispatch fast frame: raygen -> (prepass) -> per-segment march
     -> unpermute -> background composite, all inside a single jit.
 
@@ -609,6 +609,11 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
     the unfused path.  ``intr`` = traced [fx, fy, cx, cy] so camera
     motion and focal changes never recompile; ``seg_counts`` =
     ((n_chunks, max_dense), ...) static segment layout.
+
+    ``group`` > 1 asserts that (perm, inv) are group-structured (from
+    ``order_from_hints(..., group=g)``): the final unpermute then moves
+    [R/g, 4g] rows instead of [R, 4] — the XLA gather costs per row, so
+    this is ~g-fold cheaper (10.8 -> ~3 ms at 1080p g=4).
     """
     from .render import composite_background
     from .rays import screen2worlddir_indices, rodrigues
@@ -642,7 +647,13 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             nrec_l.append(res.nrec)
             skips_l.append(res.skips)
         off += n
-    out = jnp.take(jnp.concatenate(outs, 0)[:R], inv, axis=0)
+    out = jnp.concatenate(outs, 0)[:R]
+    if group > 1 and R % group == 0:
+        ginv = inv[::group] // group
+        out = jnp.take(out.reshape(R // group, 4 * group), ginv,
+                       axis=0).reshape(R, 4)
+    else:
+        out = jnp.take(out, inv, axis=0)
     img = composite_background(out, opt, bg_value=bg_value)
     ret = dict(img=img, seg_overflow=jnp.stack(ovs))
     if need_votes:
@@ -718,7 +729,7 @@ def order_from_steps(steps) -> tuple:
     return _argsort_small_keys(np.asarray(steps))
 
 
-def order_from_hints(steps, nrec, skips=None) -> tuple:
+def order_from_hints(steps, nrec, skips=None, group: int = 1) -> tuple:
     """(perm, inv) ordering for the SEGMENTED fast path: primary key =
     dense-record count (heavy recorders cluster in the tail chunks,
     where the large ``max_dense`` segment lives), secondary = march step
@@ -726,31 +737,56 @@ def order_from_hints(steps, nrec, skips=None) -> tuple:
     tertiary = prepass entry-skip count (coherent prepass blocks: the
     Pallas prepass runs block-max iterations, so grouping equal-cost
     rays cuts its ~5x max/mean waste without touching march tiling —
-    the first two keys are preserved exactly)."""
+    the first two keys are preserved exactly).
+
+    ``group`` sorts fixed runs of ``group`` consecutive pixels by their
+    run-max key instead of single rays.  The permutation then moves
+    [R/group, 4*group] rows, so the frame's final unpermute gather —
+    whose XLA cost is per ROW (~10 ns regardless of width; measured
+    10.8 ms/frame at 1080p for g=1) — shrinks ~group-fold, at the price
+    of slightly less uniform march tiles (measured waste 1.15 -> 1.17
+    at g=2, 1.29 at g=4 on the shell fixture).  Pass the same value as
+    the render functions' ``group``."""
     steps = np.asarray(steps)
     nrec = np.asarray(nrec)
-    if skips is None:
+    if skips is None and group == 1:
         key = (np.minimum(nrec, 255).astype(np.int32) << 12) \
             | np.minimum(steps, 4095).astype(np.int32)
         return _argsort_small_keys(key)
+    if skips is None:
+        skips = np.zeros_like(steps)
     skips = np.asarray(skips)
     # 4+9+9 = 22 bits: the native counting sort caps keys at 2^22
     key = (np.minimum(nrec, 15).astype(np.int32) << 18) \
         | (np.minimum(steps, 511).astype(np.int32) << 9) \
         | np.minimum(skips, 511).astype(np.int32)
-    return _argsort_small_keys(key)
+    if group == 1:
+        return _argsort_small_keys(key)
+    R = key.shape[0]
+    if R % group:
+        raise ValueError(f"ray count {R} not divisible by group {group}")
+    gkey = key.reshape(-1, group).max(1)
+    gperm, _ = _argsort_small_keys(gkey)
+    gperm = np.asarray(gperm)
+    perm = (gperm.astype(np.int64)[:, None] * group
+            + np.arange(group, dtype=np.int64)[None, :]).reshape(-1)
+    inv = np.empty(R, np.int32)
+    inv[perm] = np.arange(R, dtype=np.int32)
+    return (jnp.asarray(perm, jnp.int32), jnp.asarray(inv, jnp.int32))
 
 
 # Per-segment (ray fraction, max_dense) budgets for record-sorted frames.
-# Measured on the 1080p shell benchmark: 52% of rays record nothing,
-# 94% record <= 2, p99 = 4, max 7 — so half the frame runs the
-# zero-record segment (no record buffers, no shading gather at all) and
-# most of the rest pays a [r, 1..2, D] deferred shading gather instead
-# of [r, 8, D] (padding was ~10x the valid rows, ~370 of 588 ms/frame).
-# Any overflowing segment is escalated by the caller (Viewer/bench
-# raise its max_dense — 0 -> 1, then doubling — and re-render).
-DEFAULT_SEGMENTS = ((0.5, 0), (0.1875, 1), (0.25, 2),
-                    (0.046875, 4), (0.015625, 8))
+# Fractions follow the measured steady-state nrec CDF on the 1080p
+# shell benchmark (52.3% of rays record nothing, 87.7% <= 1, 94.2%
+# <= 2, 99% <= 3, max 5) with a little headroom per class — so half
+# the frame runs the zero-record segment (no record buffers, no
+# shading gather at all) and most of the rest pays a [r, 1, D]
+# deferred-shading gather (cutting the md=2 class from the earlier
+# 25% to its true ~6.5% measured 15.5 -> 16.2 fps).  Any overflowing
+# segment is escalated by the caller (Viewer/bench raise its
+# max_dense — 0 -> 1, then doubling — and re-render).
+DEFAULT_SEGMENTS = ((0.515, 0), (0.35, 1), (0.065, 2),
+                    (0.055, 4), (0.015, 8))
 
 
 def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
@@ -873,14 +909,17 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
                                 unroll: int = 1,
                                 need_votes: bool = False,
                                 dynamic_knobs: bool = False,
-                                skip_table: Optional[jax.Array] = None):
+                                skip_table: Optional[jax.Array] = None,
+                                group: int = 1):
     """Record-sorted segmented fast frame.
 
     ``order`` must come from :func:`order_from_hints` (rays sorted by
     last frame's dense-record count): each contiguous ray segment then
     gets its own ``max_dense`` budget, so the deferred-shading
     coefficient gather is sized to what rays actually record instead of
-    a frame-wide worst case.  Pixels are bit-identical to the
+    a frame-wide worst case.  Pass the same ``group`` given to
+    ``order_from_hints`` to move the final unpermute at group
+    granularity (pixels identical; pure gather-cost saving).  Pixels are bit-identical to the
     unsegmented path — segmentation only partitions rays, and any
     ray exceeding its segment's budget raises that segment's overflow
     flag so the caller can escalate (double the budget and re-render).
@@ -910,7 +949,7 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
         dyn, skip_table, opt=opt, width=w,
         seg_counts=segment_chunks(n_chunks, segments),
         chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
-        return_hints=False)
+        return_hints=False, group=group)
     img = res["img"].reshape(h, w, 4)
     if need_votes:
         return (img, res["seg_overflow"], res["split_vote"],

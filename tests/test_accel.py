@@ -321,6 +321,41 @@ def test_segmented_frame_bit_equals_unsegmented():
     np.testing.assert_array_equal(np.asarray(pv), np.asarray(pv0))
 
 
+def test_group_sorted_frame_bit_equals_ray_sorted():
+    """Group-of-g ordering (order_from_hints(group=g) + the grouped
+    unpermute in _frame_core) only changes HOW rays are permuted and
+    how the output moves back — pixels must be identical to the
+    ray-granular segmented frame."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    img0, ov0, steps, nrec, skips = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True, return_skips=True)
+    assert not bool(ov0)
+    segs = ((0.5, 2), (0.25, 4), (0.25, 16))
+    order1 = accel.order_from_hints(steps, nrec, skips)
+    img1, ov1 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order1, segments=segs, chunk_size=cs)
+    assert not bool(np.asarray(ov1).any())
+    for g in (2, 4):
+        order_g = accel.order_from_hints(steps, nrec, skips, group=g)
+        # structure check: groups move as units
+        perm = np.asarray(order_g[0])
+        assert (perm.reshape(-1, g)
+                == perm.reshape(-1, g)[:, :1] + np.arange(g)).all()
+        img_g, ov_g = accel.render_frame_fast_segmented(
+            tree, lm, cam, opt, order=order_g, segments=segs,
+            chunk_size=cs, group=g)
+        assert not bool(np.asarray(ov_g).any())
+        np.testing.assert_array_equal(np.asarray(img1),
+                                      np.asarray(img_g))
+
+
 def test_segmented_overflow_flags_per_segment():
     """A segment whose max_dense budget is too small must raise ITS
     overflow flag (callers escalate that segment only)."""
