@@ -43,7 +43,10 @@ class Viewer:
         self.options = options or RenderOptions()
         self.model = model            # models.MegaNeRFModel or None
         self.tree = None
-        self.max_tree_capacity = None
+        # honored by set()/load_state even when no tree is given yet, so
+        # Viewer(max_tree_capacity=N) + load_state resumes a refinement
+        # session with growth headroom instead of tree.max_capacity
+        self.max_tree_capacity = max_tree_capacity
         self.fps = FpsCounter()
         self.timer = FrameTimer()
         self._visit_tracker = None
@@ -90,7 +93,9 @@ class Viewer:
 
     def set(self, tree: N3Tree, max_tree_capacity: Optional[int] = None):
         """Install a tree (reference ``Impl::set``, cuda_renderer.cpp:498-516)."""
-        self.max_tree_capacity = max_tree_capacity or tree.max_capacity
+        self.max_tree_capacity = (max_tree_capacity
+                                  or self.max_tree_capacity
+                                  or tree.max_capacity)
         if tree.max_capacity < self.max_tree_capacity:
             # re-pad to the requested growth capacity (move_to_device analogue)
             cap = int(tree.capacity)

@@ -49,3 +49,58 @@ def test_sample_counts_roundtrip(tmp_path):
     tree.save_npz(p)
     t2 = N3Tree.open(p)
     assert int(np.asarray(t2.sample_counts)[0, 0]) == 41
+
+
+def test_mid_refinement_checkpoint_resume(tmp_path):
+    """Checkpoint DURING a refinement session: the refined topology,
+    sample counts, and every option knob survive the round trip, and
+    the resumed session continues refining from where it left off
+    (the reference has no state persistence at all — SURVEY §5 names
+    this a new capability; refined trees there die with the process)."""
+    from mega_nerf_viewer_tpu.models import MegaNeRFModel
+    tree = sphere_tree(basis_dim=1, depth=3)
+    v = Viewer(tree, max_tree_capacity=4000)
+    v.model = MegaNeRFModel.synthetic(data_dim=4)
+    v.options = v.options.replace(use_splitting=True,
+                                  split_batch_size=16,
+                                  samples_per_corner=4,
+                                  sigma_thresh=0.02)
+    cap0 = int(v.tree.capacity)
+    v.render()
+    cap1 = int(v.tree.capacity)
+    assert cap1 > cap0, "refinement did not split"
+
+    state_p = str(tmp_path / "mid.json")
+    tree_p = str(tmp_path / "mid_tree.npz")
+    v.save_state(state_p, tree_path=tree_p)
+
+    v2 = Viewer(max_tree_capacity=4000)
+    v2.load_state(state_p)
+    v2.model = v.model
+    assert v2.options == v.options          # every field round-trips
+    assert int(v2.tree.capacity) == cap1
+    np.testing.assert_array_equal(
+        np.asarray(v2.tree.sample_counts[:cap1]),
+        np.asarray(v.tree.sample_counts[:cap1]))
+    np.testing.assert_array_equal(np.asarray(v2.tree.child[:cap1]),
+                                  np.asarray(v.tree.child[:cap1]))
+    # resumed session keeps refining
+    v2.render()
+    assert int(v2.tree.capacity) >= cap1
+
+
+def test_load_state_without_tree(tmp_path):
+    """load_tree=False restores camera/options onto the existing tree;
+    a state file with no tree_path leaves the tree untouched."""
+    tree = sphere_tree(basis_dim=1, depth=2)
+    v = Viewer(tree)
+    v.options = v.options.replace(render_depth=True)
+    p = str(tmp_path / "s.json")
+    v.save_state(p)                      # no tree_path recorded
+    other = sphere_tree(basis_dim=1, depth=3)
+    v2 = Viewer(other)
+    v2.load_state(p)
+    assert v2.options.render_depth
+    assert int(v2.tree.capacity) == int(other.capacity)
+    v2.load_state(p, load_tree=False)
+    assert int(v2.tree.capacity) == int(other.capacity)
