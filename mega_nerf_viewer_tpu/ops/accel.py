@@ -118,11 +118,17 @@ def _build_rows(tree: N3Tree, level: int, deep_levels: int) -> jax.Array:
     done = jnp.zeros((1, 1, 1), bool)
 
     def up(a):
-        # replicate each cell into its 2x2x2 children (lattice refine)
-        g = a.shape[0]
-        return jnp.broadcast_to(
-            a[:, None, :, None, :, None],
-            (g, 2, g, 2, g, 2)).reshape(2 * g, 2 * g, 2 * g)
+        # replicate each cell into its 2x2x2 children (lattice refine).
+        # Major-axis repeat + cyclic transpose, NOT one (g,2,g,2,g,2)
+        # broadcast: TPU tiles the two MINOR dims to (8,128), so any
+        # intermediate with a trailing dim of 2 pads 64x — at level 9
+        # the broadcast form materialized a 34 GB tile-padded
+        # intermediate and OOMed.  Repeating on the major axis keeps
+        # minor dims dense; three rounds restore x-major order.
+        for _ in range(3):
+            a = jnp.repeat(a, 2, axis=0)
+            a = jnp.transpose(a, (1, 2, 0))
+        return a
 
     for l in range(level):
         g2 = 2 << l
