@@ -26,8 +26,7 @@ def main():
     from mega_nerf_viewer_tpu.options import RenderOptions
     from mega_nerf_viewer_tpu.n3tree import shell_tree
     from mega_nerf_viewer_tpu.models import MegaNeRFModel
-    from mega_nerf_viewer_tpu.ops import refine
-    from mega_nerf_viewer_tpu.ops.render import render_rays
+    from mega_nerf_viewer_tpu.ops import accel, refine
     from mega_nerf_viewer_tpu.ops.rays import screen2worlddir, rodrigues
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
@@ -53,22 +52,38 @@ def main():
     mp = jnp.asarray(model.min_position, jnp.float32)
     pr = jnp.asarray(model.range, jnp.float32)
 
-    # warm compile of both programs
-    res = render_rays(tree, dirs, vdirs, cen, opt)
-    t2, tracker, n0 = refine.expand_voxels_jit(
-        tree, model.params, gd, mp, pr, opt, res.split_vote, tracker,
-        key)
-    jax.block_until_ready(t2.capacity)
+    # Vote frames use the FAST leaf-map march (need_votes=True produces
+    # votes bit-identical to the exact path — ops/accel docstring), with
+    # the leaf map rebuilt after each expand: exactly the Viewer's
+    # refinement-session pipeline.  The round-1 version voted via the
+    # exact march, which dominated the loop ~10x.
+    def vote_frame(cur, lm):
+        res = accel.render_rays_fast(cur, lm, dirs, vdirs, cen, opt,
+                                     max_dense=32, chunk_size=4096,
+                                     need_votes=True)
+        return res.split_vote
+
+    # Warm up through TWO full iterations: the first expand deepens the
+    # tree past its initial depth, which bumps the leaf-map level and
+    # compiles a second set of executables — timing that cold compile
+    # (remote compile service, tens of seconds) would swamp the rate.
+    cur = tree
+    for _ in range(2):
+        lm = accel.build_leaf_map(cur)
+        sv = vote_frame(cur, lm)
+        key, sub = jax.random.split(key)
+        cur, tracker, _n = refine.expand_voxels_jit(
+            cur, model.params, gd, mp, pr, opt, sv, tracker, sub)
+        int(_n)
 
     total_added = 0
     t0 = time.perf_counter()
-    cur = tree
     for i in range(iters):
-        res = render_rays(cur, dirs, vdirs, cen, opt)
+        lm = accel.build_leaf_map(cur)
+        sv = vote_frame(cur, lm)
         key, sub = jax.random.split(key)
         cur, tracker, n = refine.expand_voxels_jit(
-            cur, model.params, gd, mp, pr, opt, res.split_vote, tracker,
-            sub)
+            cur, model.params, gd, mp, pr, opt, sv, tracker, sub)
         total_added += int(n)
     dt = time.perf_counter() - t0
 
