@@ -424,8 +424,16 @@ def _compact_reconstruct(tree: N3Tree, dirs: jax.Array, vdirs: jax.Array,
     offs = jnp.cumsum(ns, dtype=jnp.int32)                 # [R] inclusive
     total = offs[-1]
     p = jnp.arange(budget, dtype=jnp.int32)
+    # ray_of_p == searchsorted(offs, p, 'right'), but built as a
+    # sorted-indices scatter of segment-start flags + cumsum: XLA
+    # lowers searchsorted to ~log2(M) chained gathers (measured 347 ms
+    # at M=2M on v5e) while the flag scatter + scan costs 48 ms.
+    # (an offs value == budget is out of bounds and correctly DROPPED
+    # by the scatter — that segment starts beyond the buffer)
     ray_of_p = jnp.clip(
-        jnp.searchsorted(offs, p, side="right").astype(jnp.int32),
+        jnp.cumsum(
+            jnp.zeros((budget,), jnp.int32).at[offs[:-1]].add(
+                1, indices_are_sorted=True)),
         0, R - 1)
     start = offs[ray_of_p] - ns[ray_of_p]
     slot = jnp.clip(p - start, 0, t_buf.shape[1] - 1)
@@ -598,7 +606,11 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     t_buf, ns = t_buf[:R], ns[:R]
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     total = int(jnp.sum(ns))                 # one scalar fetch
-    budget = max(1 << 16, 1 << (max(total, 1) - 1).bit_length())
+    # static compact budget: next 64k multiple (power-of-2 sizing
+    # padded ~1.5x at the 1080p benchmark scale — every budget-sized
+    # op, the grouped matmuls included, paid for the padding; 64k
+    # granularity keeps the jit-key count bounded at ~1.5% padding)
+    budget = max(1 << 16, -(-total // (1 << 16)) * (1 << 16))
     x, cids, z_c, ray_of_p, offs = _compact_reconstruct(
         tree, dirs, vdirs, cen, t_buf, ns,
         jnp.asarray(model.grid_dim, jnp.int32),
