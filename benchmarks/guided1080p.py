@@ -44,15 +44,26 @@ def main():
     cam._update()
 
     skip_table = build_skip_table(tree, opt.sigma_thresh)
-    # warm compile
+    # warm compile; the first invalidation also yields the per-ray
+    # sample counts that cost-sort subsequent collect marches (the
+    # Viewer carries this order across camera moves)
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                           chunk_size=1920,
                                           skip_table=skip_table)
     float(cache["results_c"].sum())     # force
+    order = accel.order_from_hints(
+        np.zeros(cam.width * cam.height, np.int32),
+        cache["num_samples"])
+    cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                          chunk_size=1920,
+                                          skip_table=skip_table,
+                                          order=order)
+    float(cache["results_c"].sum())     # warm the ordered program
     t0 = time.perf_counter()
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                           chunk_size=1920,
-                                          skip_table=skip_table)
+                                          skip_table=skip_table,
+                                          order=order)
     float(cache["results_c"].sum())     # force device completion
     invalidation_ms = (time.perf_counter() - t0) * 1000.0
     n_samples = int(np.asarray(cache["num_samples"]).sum())

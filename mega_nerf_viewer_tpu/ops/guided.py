@@ -248,7 +248,8 @@ def composite_results(results: jax.Array,      # [R, S, out_dim]
 def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
                    cen_world: jax.Array, opt: RenderOptions,
                    chunk_size: int = 0,
-                   skip_table=None):
+                   skip_table=None,
+                   order=None):
     """March with the dense leaf map, recording only the tree-space ray
     parameter ``t`` of each recorded sample (one f32 per slot via
     one-hot select — TPU scatter is pathological).  The full sample rows
@@ -260,8 +261,24 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
     t trajectory — ops/pallas_march.py); sample records are unaffected
     because skipped cells are by construction below ``sigma_thresh``.
 
+    ``order`` = (perm, inv) device index arrays (e.g. from the previous
+    invalidation's sample counts via ``accel.order_from_hints``): the
+    march runs over cost-sorted rays so each chunk's while loop runs
+    ~its own max instead of the raster-layout worst case (same
+    chunk-max economics as the render path), and the records are
+    unpermuted before returning — outputs are identical to the
+    unordered call.
+
     Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32).
     """
+    if order is not None:
+        perm, inv = order
+        R0 = dirs.shape[0]
+        t_s, ns_s = collect_t_fast(
+            tree, leaf_map, jnp.take(dirs, perm, axis=0), cen_world,
+            opt, chunk_size=chunk_size, skip_table=skip_table)
+        return (jnp.take(t_s, inv, axis=0)[:R0],
+                jnp.take(ns_s, inv, axis=0)[:R0])
     from .accel import _f16_bits_to_f32
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
@@ -574,7 +591,7 @@ def _composite_frame_compact_jit(res_c, z_c, ray_of_p, offs, ns,
 
 def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                            opt: RenderOptions, chunk_size: int = 1 << 15,
-                           skip_table=None):
+                           skip_table=None, order=None):
     """Leaf-map accelerated guided collection + MLP query, fully
     device-resident (reference invalidation path,
     cuda_renderer.cpp:107-134).
@@ -600,9 +617,15 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     pad = (-R) % chunk_size if chunk_size else 0
     dirs_p = dirs if not pad else jnp.concatenate(
         [dirs, jnp.tile(dirs[-1:], (pad, 1))])
+    if order is not None and pad:
+        # extend the R-ray order to the padded tail (pad rays duplicate
+        # the last pixel; append them after the sorted ranks)
+        tail = jnp.arange(R, R + pad, dtype=jnp.int32)
+        order = (jnp.concatenate([order[0], tail]),
+                 jnp.concatenate([order[1], tail]))
     t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
                                chunk_size=chunk_size,
-                               skip_table=skip_table)
+                               skip_table=skip_table, order=order)
     t_buf, ns = t_buf[:R], ns[:R]
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     total = int(jnp.sum(ns))                 # one scalar fetch

@@ -420,10 +420,21 @@ class Viewer:
                                 self.tree, thresh)
                             self._skip_thresh = thresh
                         skip_table = self._skip_table
+                    # cost-sort the collect march with the PREVIOUS
+                    # invalidation's per-ray sample counts (temporal
+                    # coherence across camera moves; outputs identical)
+                    g_order = getattr(self, "_guided_order", None)
+                    if g_order is not None and g_order[0].shape[0] != \
+                            cam.width * cam.height:
+                        g_order = None
                     cache = guided.collect_and_query_fast(
                         self.tree, self._leaf_map, self.model, cam, opt,
                         chunk_size=self.fast_chunk_size,
-                        skip_table=skip_table)
+                        skip_table=skip_table, order=g_order)
+                    from .ops.accel import order_from_hints
+                    self._guided_order = order_from_hints(
+                        np.zeros(cam.width * cam.height, np.int32),
+                        cache["num_samples"])
                     res = None
                 else:
                     cache, res = guided.collect_and_query(
