@@ -50,7 +50,7 @@ def main():
     while True:
         img, overflow, steps, nrec, skips = accel.render_frame_fast(
             tree, leaf_map, cam, opt, max_dense=max_dense,
-            chunk_size=1920, block=64, return_nrec=True,
+            chunk_size=2176, block=64, return_nrec=True,
             skip_table=skip_table, return_skips=True)
         if not bool(overflow):
             break
@@ -63,7 +63,7 @@ def main():
     def frame():
         img, seg_overflow = accel.render_frame_fast_segmented(
             tree, leaf_map, cam, opt, order=order,
-            segments=tuple(segments), chunk_size=1920,
+            segments=tuple(segments), chunk_size=2176,
             skip_table=skip_table)
         return img, seg_overflow
 

@@ -72,9 +72,10 @@ class Viewer:
         # ~2k chunks: the march's while loop runs to each chunk's
         # max-step count, so small chunks waste far fewer lane-steps
         # (measured chunk-max/true-step waste 1.86x at 16k vs ~1.2x
-        # here).  1920 (15 sublane tiles) measured fastest; exactly
-        # 2048 hits a pathological XLA layout (~+30%% on v5e).
-        self.fast_chunk_size = 1920
+        # here).  2176 (17 sublane tiles) measured fastest with the
+        # level-6 prepass + 3-key sort; exactly 2048 hits a
+        # pathological XLA layout (~+30%% on v5e).
+        self.fast_chunk_size = 2176
         self._leaf_map = None
         # extra overlay meshes (triangles/lines/points, utils.mesh.Mesh)
         # composited like the reference GL mesh layer (mesh.cpp:135-166)
