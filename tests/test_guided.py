@@ -269,3 +269,34 @@ def test_fast_collection_appearance_embedding():
     np.testing.assert_allclose(
         np.asarray(cache_fast["results_c"])[:int(ns.sum())],
         np.asarray(cache_exact["results"])[valid], rtol=1e-4, atol=1e-4)
+
+
+def test_ordered_collect_identical():
+    """collect_t_fast/collect_and_query_fast with a cost-sorted ray
+    order produce outputs identical to the unordered call (ordering is
+    pure perf — march chunks change, records don't)."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=1, depth=4)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1))
+    opt = RenderOptions(max_guided_samples=16)
+    cam = Camera(24, 18, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+
+    a = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                      chunk_size=64)
+    order = accel.order_from_hints(
+        np.zeros(cam.width * cam.height, np.int32), a["num_samples"])
+    b = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                      chunk_size=64, order=order)
+    np.testing.assert_array_equal(np.asarray(a["num_samples"]),
+                                  np.asarray(b["num_samples"]))
+    total = int(np.asarray(a["num_samples"]).sum())
+    np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
+                                  np.asarray(b["z_c"])[:total])
+    np.testing.assert_allclose(np.asarray(a["results_c"])[:total],
+                               np.asarray(b["results_c"])[:total],
+                               rtol=1e-5, atol=1e-5)
