@@ -654,12 +654,16 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             skips_l.append(res.skips)
         off += n
     out = jnp.concatenate(outs, 0)[:R]
+    # unpermute with the unique-indices hint: inv is a permutation, and
+    # XLA's gather occasionally lowers jnp.take ~4x slower than the
+    # hinted .at[].get on identical shapes (measured 48.6 vs 10.6 ms
+    # at [2M, 4] in a fresh process)
     if group > 1 and R % group == 0:
         ginv = inv[::group] // group
-        out = jnp.take(out.reshape(R // group, 4 * group), ginv,
-                       axis=0).reshape(R, 4)
+        out = out.reshape(R // group, 4 * group).at[ginv].get(
+            unique_indices=True, mode="clip").reshape(R, 4)
     else:
-        out = jnp.take(out, inv, axis=0)
+        out = out.at[inv].get(unique_indices=True, mode="clip")
     img = composite_background(out, opt, bg_value=bg_value)
     ret = dict(img=img, seg_overflow=jnp.stack(ovs))
     if need_votes:
