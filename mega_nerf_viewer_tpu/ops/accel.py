@@ -665,19 +665,18 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
     else:
         out = out.at[inv].get(unique_indices=True, mode="clip")
     img = composite_background(out, opt, bg_value=bg_value)
+    def unperm(parts):
+        return jnp.concatenate(parts, 0)[:R].at[inv].get(
+            unique_indices=True, mode="clip")
+
     ret = dict(img=img, seg_overflow=jnp.stack(ovs))
     if need_votes:
-        ret["split_vote"] = jnp.take(
-            jnp.concatenate(svs, 0)[:R], inv, axis=0)
-        ret["sample_vote"] = jnp.take(
-            jnp.concatenate(pvs, 0)[:R], inv, axis=0)
+        ret["split_vote"] = unperm(svs)
+        ret["sample_vote"] = unperm(pvs)
     if return_hints:
-        ret["steps"] = jnp.take(
-            jnp.concatenate(steps_l, 0)[:R], inv, axis=0)
-        ret["nrec"] = jnp.take(
-            jnp.concatenate(nrec_l, 0)[:R], inv, axis=0)
-        ret["skips"] = jnp.take(
-            jnp.concatenate(skips_l, 0)[:R], inv, axis=0)
+        ret["steps"] = unperm(steps_l)
+        ret["nrec"] = unperm(nrec_l)
+        ret["skips"] = unperm(skips_l)
     return ret
 
 

@@ -275,10 +275,14 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
         perm, inv = order
         R0 = dirs.shape[0]
         t_s, ns_s = collect_t_fast(
-            tree, leaf_map, jnp.take(dirs, perm, axis=0), cen_world,
-            opt, chunk_size=chunk_size, skip_table=skip_table)
-        return (jnp.take(t_s, inv, axis=0)[:R0],
-                jnp.take(ns_s, inv, axis=0)[:R0])
+            tree, leaf_map,
+            dirs.at[perm].get(unique_indices=True, mode="clip"),
+            cen_world, opt, chunk_size=chunk_size,
+            skip_table=skip_table)
+        return (t_s.at[inv].get(unique_indices=True,
+                                mode="clip")[:R0],
+                ns_s.at[inv].get(unique_indices=True,
+                                 mode="clip")[:R0])
     from .accel import _f16_bits_to_f32
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]

@@ -270,7 +270,7 @@ def render_frame_fast_segmented_sharded(
     if skip_table is not None:
         args += (skip_table,)
     out, seg_ov = run(*args)
-    out = jnp.take(out, inv_str, axis=0)
+    out = out.at[inv_str].get(unique_indices=True, mode="clip")
     img = composite_background(out, opt)
     return img.reshape(h, w, 4), seg_ov
 
