@@ -126,12 +126,15 @@ def _query_grouped(params: MLPParams, cluster_ids: jax.Array,
     ids = jnp.clip(cluster_ids.astype(jnp.int32), 0, C - 1)
     perm = jnp.argsort(ids, stable=True)
     inv = jnp.argsort(perm, stable=True)
-    sorted_x = jnp.take(x, perm, axis=0)
+    # unique-indices hints: permutation gathers lower ~2x faster than
+    # plain take at this scale on v5e (measured 100 -> 52 ms for the
+    # sort+permute skeleton at 2M samples)
+    sorted_x = x.at[perm].get(unique_indices=True, mode="clip")
     group_sizes = jnp.sum(
         ids[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None],
         axis=1, dtype=jnp.int32)
     out_sorted = mlp_forward_grouped(params, sorted_x, group_sizes)
-    return jnp.take(out_sorted, inv, axis=0)
+    return out_sorted.at[inv].get(unique_indices=True, mode="clip")
 
 
 def mlp_forward_all(params: MLPParams, cluster_ids: jax.Array,
