@@ -51,9 +51,9 @@ def main():
                                           chunk_size=1920,
                                           skip_table=skip_table)
     float(cache["results_c"].sum())     # force
-    order = accel.order_from_hints(
-        np.zeros(cam.width * cam.height, np.int32),
-        cache["num_samples"])
+    ns_h = np.asarray(cache["num_samples"])
+    order = accel.order_from_hints(np.zeros(ns_h.shape[0], np.int32),
+                                   ns_h)
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                           chunk_size=1920,
                                           skip_table=skip_table,

@@ -244,12 +244,15 @@ def composite_results(results: jax.Array,      # [R, S, out_dim]
 # Leaf-map accelerated collection (TPU fast path)
 # ----------------------------------------------------------------------
 @functools.partial(
-    jax.jit, static_argnames=("opt", "chunk_size"))
+    jax.jit, static_argnames=("opt", "chunk_size", "zero_frac",
+                              "with_overflow"))
 def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
                    cen_world: jax.Array, opt: RenderOptions,
                    chunk_size: int = 0,
                    skip_table=None,
-                   order=None):
+                   order=None,
+                   zero_frac: float = 0.0,
+                   with_overflow: bool = False):
     """March with the dense leaf map, recording only the tree-space ray
     parameter ``t`` of each recorded sample (one f32 per slot via
     one-hot select — TPU scatter is pathological).  The full sample rows
@@ -269,20 +272,51 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
     unpermuted before returning — outputs are identical to the
     unordered call.
 
-    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32).
+    ``zero_frac`` (requires ``order`` from ns-sorted hints and
+    chunking): the first ``zero_frac`` of sorted chunks — the rays the
+    hints say record NOTHING — march with no record buffer at all
+    (the analogue of the render path's zero-record segments; ~52% of
+    1080p shell rays).  A ray there that DOES find a sample (stale
+    hint) raises the returned overflow flag so the caller re-collects
+    with ``zero_frac=0`` — sample records stay exactly the reference's
+    silent-cap semantics (rt_core.cuh:514).
+
+    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32) and,
+    when ``zero_frac`` > 0, a third bool: zero-segment overflow.
     """
     if order is not None:
         perm, inv = order
         R0 = dirs.shape[0]
+        dirs_s = dirs.at[perm].get(unique_indices=True, mode="clip")
+        if zero_frac > 0.0 and chunk_size and R0 % chunk_size == 0 \
+                and R0 > chunk_size:
+            n_chunks = R0 // chunk_size
+            nz = min(max(int(zero_frac * n_chunks), 0), n_chunks - 1)
+            cut = nz * chunk_size
+            S = opt.max_guided_samples
+            _, _, overflow = collect_t_fast(
+                tree, leaf_map, dirs_s[:cut], cen_world,
+                opt.replace(max_guided_samples=0),
+                chunk_size=chunk_size, skip_table=skip_table,
+                with_overflow=True)
+            tb, nsb = collect_t_fast(
+                tree, leaf_map, dirs_s[cut:], cen_world, opt,
+                chunk_size=chunk_size, skip_table=skip_table)
+            t_s = jnp.concatenate(
+                [jnp.full((cut, S), -1.0, jnp.float32), tb])
+            ns_s = jnp.concatenate([jnp.zeros((cut,), jnp.int32), nsb])
+            return (t_s.at[inv].get(unique_indices=True,
+                                    mode="clip")[:R0],
+                    ns_s.at[inv].get(unique_indices=True,
+                                     mode="clip")[:R0], overflow)
         t_s, ns_s = collect_t_fast(
-            tree, leaf_map,
-            dirs.at[perm].get(unique_indices=True, mode="clip"),
-            cen_world, opt, chunk_size=chunk_size,
-            skip_table=skip_table)
-        return (t_s.at[inv].get(unique_indices=True,
-                                mode="clip")[:R0],
-                ns_s.at[inv].get(unique_indices=True,
-                                 mode="clip")[:R0])
+            tree, leaf_map, dirs_s, cen_world, opt,
+            chunk_size=chunk_size, skip_table=skip_table)
+        out = (t_s.at[inv].get(unique_indices=True,
+                               mode="clip")[:R0],
+               ns_s.at[inv].get(unique_indices=True,
+                                mode="clip")[:R0])
+        return out + (jnp.asarray(False),) if zero_frac > 0.0 else out
     from .accel import _f16_bits_to_f32
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
@@ -312,6 +346,7 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
         t_buf = jnp.full((r, S), -1.0, jnp.float32)
         srange = jnp.arange(S, dtype=jnp.int32)
         ns = jnp.zeros((r,), jnp.int32)
+        ov = jnp.zeros((r,), bool)
         t = tmin_c
         T = jnp.ones((r,), jnp.float32)
         active = ~miss_c & (t < tmax_c)
@@ -320,7 +355,7 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             return jnp.any(c[-1])
 
         def body(c):
-            t, T, t_buf, ns, active = c
+            t, T, t_buf, ns, ov, active = c
             pos = cen_c + t[:, None] * d_c
             posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
             cell = jnp.floor(posc * G).astype(jnp.int32)
@@ -363,17 +398,23 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             dense = active & (sigma > opt.sigma_thresh)
             att = jnp.exp(-delta_t * ds_c * sigma)
             rec = dense & (ns < S)
-            m = rec[:, None] & (ns[:, None] == srange[None, :])
-            t_buf = jnp.where(m, t[:, None], t_buf)
-            ns = jnp.where(rec, ns + 1, ns)
+            # over-budget flag: meaningful only for reduced-budget
+            # segment calls (at S == the caller's max_guided_samples
+            # this is the reference's SILENT cap, rt_core.cuh:514)
+            ov = ov | (dense & (ns >= S))
+            if S > 0:
+                m = rec[:, None] & (ns[:, None] == srange[None, :])
+                t_buf = jnp.where(m, t[:, None], t_buf)
+                ns = jnp.where(rec, ns + 1, ns)
             T = jnp.where(dense, T * att, T)
             stop = dense & (T < opt.stop_thresh)
             t = jnp.where(active, t + delta_t, t)
             active = active & ~stop & (t < tmax_c)
-            return (t, T, t_buf, ns, active)
+            return (t, T, t_buf, ns, ov, active)
 
-        c = jax.lax.while_loop(cond, body, (t, T, t_buf, ns, active))
-        return c[2], c[3]
+        c = jax.lax.while_loop(cond, body,
+                               (t, T, t_buf, ns, ov, active))
+        return c[2], c[3], jnp.any(c[4])
 
     args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
             tmin, tmax, miss)
@@ -381,9 +422,13 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
         n_chunks = R // chunk_size
         args = tuple(a.reshape((n_chunks, chunk_size) + a.shape[1:])
                      for a in args)
-        t_buf, ns = jax.lax.map(march_chunk, args)
-        return t_buf.reshape(R, S), ns.reshape(R)
-    return march_chunk(args)
+        t_buf, ns, ov = jax.lax.map(march_chunk, args)
+        t_buf, ns, ov = t_buf.reshape(R, S), ns.reshape(R), jnp.any(ov)
+    else:
+        t_buf, ns, ov = march_chunk(args)
+    if with_overflow:
+        return t_buf, ns, ov
+    return t_buf, ns
 
 
 @functools.partial(jax.jit, static_argnames=("opt",))
@@ -595,7 +640,8 @@ def _composite_frame_compact_jit(res_c, z_c, ray_of_p, offs, ns,
 
 def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                            opt: RenderOptions, chunk_size: int = 1 << 15,
-                           skip_table=None, order=None):
+                           skip_table=None, order=None,
+                           zero_frac: float = 0.0):
     """Leaf-map accelerated guided collection + MLP query, fully
     device-resident (reference invalidation path,
     cuda_renderer.cpp:107-134).
@@ -627,9 +673,28 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         tail = jnp.arange(R, R + pad, dtype=jnp.int32)
         order = (jnp.concatenate([order[0], tail]),
                  jnp.concatenate([order[1], tail]))
-    t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
-                               chunk_size=chunk_size,
-                               skip_table=skip_table, order=order)
+    # zero_frac is a static jit arg of the collect — quantize to 1/64
+    # steps so slider-continuous hint fractions can't accumulate
+    # executables
+    zero_frac = int(max(0.0, min(zero_frac, 1.0)) * 64) / 64.0
+    if order is not None and zero_frac > 0.0:
+        out = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
+                             chunk_size=chunk_size,
+                             skip_table=skip_table, order=order,
+                             zero_frac=zero_frac)
+        t_buf, ns = out[0], out[1]
+        if bool(out[2]):
+            # stale hints: some "records nothing" ray found a sample —
+            # re-collect with full budgets (records must stay exactly
+            # the reference's silent-cap semantics)
+            t_buf, ns = collect_t_fast(
+                tree, leaf_map, dirs_p, cen, opt,
+                chunk_size=chunk_size, skip_table=skip_table,
+                order=order)
+    else:
+        t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
+                                   chunk_size=chunk_size,
+                                   skip_table=skip_table, order=order)
     t_buf, ns = t_buf[:R], ns[:R]
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     total = int(jnp.sum(ns))                 # one scalar fetch

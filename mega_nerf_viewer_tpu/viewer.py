@@ -428,14 +428,18 @@ class Viewer:
                     if g_order is not None and g_order[0].shape[0] != \
                             cam.width * cam.height:
                         g_order = None
+                    # (zero_frac segmenting exists in collect_t_fast
+                    # but measured NET NEGATIVE here: the mid-pipeline
+                    # overflow fetch pays a host sync and zero-class
+                    # rays are the cheap ones — see PERFORMANCE.md)
                     cache = guided.collect_and_query_fast(
                         self.tree, self._leaf_map, self.model, cam, opt,
                         chunk_size=self.fast_chunk_size,
                         skip_table=skip_table, order=g_order)
                     from .ops.accel import order_from_hints
+                    ns_h = np.asarray(cache["num_samples"])
                     self._guided_order = order_from_hints(
-                        np.zeros(cam.width * cam.height, np.int32),
-                        cache["num_samples"])
+                        np.zeros(ns_h.shape[0], np.int32), ns_h)
                     res = None
                 else:
                     cache, res = guided.collect_and_query(

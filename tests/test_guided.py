@@ -300,3 +300,43 @@ def test_ordered_collect_identical():
     np.testing.assert_allclose(np.asarray(a["results_c"])[:total],
                                np.asarray(b["results_c"])[:total],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_zero_frac_collect_identical_and_escalates():
+    """zero_frac collect: rays the hints mark as recording nothing
+    march without record buffers — outputs identical; a stale hint
+    (a zero-class ray that now records) raises the overflow so the
+    caller re-collects with full budgets."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=1, depth=4)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1))
+    opt = RenderOptions(max_guided_samples=16)
+    cam = Camera(32, 24, 7.0)   # wide FOV: many rays miss the sphere
+    cam.center = np.array([-1.8, 0.3, 1.7], f32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+
+    a = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                      chunk_size=64)
+    ns = np.asarray(a["num_samples"])
+    order = accel.order_from_hints(np.zeros(ns.shape[0], np.int32), ns)
+    zf = max(0.0, float((ns == 0).mean()) - 0.03)
+    assert zf > 0.1, "fixture should have a real zero class"
+    b = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                      chunk_size=64, order=order,
+                                      zero_frac=zf)
+    np.testing.assert_array_equal(ns, np.asarray(b["num_samples"]))
+    total = int(ns.sum())
+    np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
+                                  np.asarray(b["z_c"])[:total])
+    # stale hints: push the whole frame into the zero class — the
+    # escalation path must still produce identical records
+    R = ns.shape[0]
+    bad_order = accel.order_from_hints(np.zeros(R, np.int32),
+                                       np.zeros(R, np.int32))
+    c = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                      chunk_size=64, order=bad_order,
+                                      zero_frac=0.9)
+    np.testing.assert_array_equal(ns, np.asarray(c["num_samples"]))
