@@ -530,10 +530,18 @@ def render_rays_fast(tree: N3Tree,
         valid = slots[None, :] < nd[:, None]
         if max_dense == 0:
             # zero-record segment: nothing was recorded (any dense
-            # sample raised overflow), so the composite is closed-form
+            # sample raised overflow), so the composite is closed-form.
+            # Depth mode matches the exact branch below: with no dense
+            # samples d0 = 0 and the reference ALWAYS writes alpha 1 in
+            # depth mode (rt_core.cuh:254-255, 297-298, 325-327; miss at
+            # :195) — without this, miss/empty rays returned alpha 1-T=0
+            # and the background leaked into depth renders.
             rgb = jnp.zeros((r, 3), jnp.float32)
-            alpha = jnp.where(stopped, 1.0,
-                              jnp.where(miss_c, 0.0, 1.0 - T))
+            if opt.render_depth:
+                alpha = jnp.ones((r,), jnp.float32)
+            else:
+                alpha = jnp.where(stopped, 1.0,
+                                  jnp.where(miss_c, 0.0, 1.0 - T))
             out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
         elif opt.render_depth:
             d0 = jnp.sum(jnp.where(valid, w_buf * t_buf, 0.0), axis=1)
@@ -765,7 +773,14 @@ def order_from_hints(steps, nrec, skips=None, group: int = 1) -> tuple:
     if skips is None:
         skips = np.zeros_like(steps)
     skips = np.asarray(skips)
-    # 4+9+9 = 22 bits: the native counting sort caps keys at 2^22
+    # 4+9+9 = 22 bits: the native counting sort caps keys at 2^22.
+    # The nrec cap of 15 is below the post-escalation max_dense (up to
+    # 128): heavy recorders beyond 15 tie in the primary key, so
+    # segment placement is coarser on frames rendered between an
+    # overflow escalation and the next hint refresh.  That window is
+    # transient by design — the Viewer refreshes hints on the next
+    # camera move, and the escalated segment's larger budget keeps the
+    # frame correct regardless (overflow re-raises if not).
     key = (np.minimum(nrec, 15).astype(np.int32) << 18) \
         | (np.minimum(steps, 511).astype(np.int32) << 9) \
         | np.minimum(skips, 511).astype(np.int32)

@@ -87,7 +87,7 @@ _UNROLL = 4
 
 @functools.partial(jax.jit, static_argnames=())
 def build_skip_table(tree: N3Tree, sigma_thresh) -> jax.Array:
-    """Pack the two-level skippability table: i32 [16, 128].
+    """Pack the three-plane skippability table: i32 [80, 128].
 
     Rows 0-7 — level-4 nibbles for cell (cx, cy, cz) (x-major, like the
     leaf map): bit 3 = skippable (leaf at depth <= 4 with sigma <=

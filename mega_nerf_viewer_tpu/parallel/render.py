@@ -162,13 +162,45 @@ def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
     return img.reshape(h, w, 4), res.overflow
 
 
+def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
+                         *, opt: RenderOptions, seg_counts,
+                         chunk_size: int, width: int):
+    """Per-shard computation of the segmented sharded frame: shard-local
+    raygen from pixel indices + the per-segment fast marches.
+
+    Factored out of the shard_map program below so a SINGLE chip can
+    time exactly the per-shard workload — bench.py jits this directly
+    to produce the driver-captured v5e-8 slice projection (the sharded
+    program's only intra-frame collective is the scalar overflow pmax,
+    so per-chip time ~= frame time; the cross-chip output unpermute is
+    accounted separately).  Returns (out [per, 4], seg_overflow bools).
+    """
+    from ..ops.accel import render_rays_fast
+    from ..ops.rays import screen2worlddir_indices, rodrigues
+    dirs_p, cen = screen2worlddir_indices(
+        pix, width, intr[0], intr[1], intr[2], intr[3], transform)
+    vdirs_p = rodrigues(rot_dirs, dirs_p)
+    outs, ovs = [], []
+    off = 0
+    for c_chunks, md in seg_counts:
+        n = c_chunks * chunk_size
+        sl = slice(off, off + n)
+        res = render_rays_fast(
+            tree, lm, dirs_p[sl], vdirs_p[sl], cen, opt,
+            max_dense=md,
+            chunk_size=chunk_size if c_chunks > 1 else 0,
+            skip_table=skip)
+        outs.append(res.out)
+        ovs.append(res.overflow)
+        off += n
+    return jnp.concatenate(outs, 0), jnp.stack(ovs)
+
+
 @functools.lru_cache(maxsize=32)
 def _fast_segmented_sharded_program(mesh: Mesh, opt: RenderOptions,
                                     seg_counts, chunk_size: int,
                                     width: int, tree_treedef,
                                     lm_treedef, has_skip: bool):
-    from ..ops.accel import render_rays_fast
-    from ..ops.rays import screen2worlddir_indices, rodrigues
     tree_spec = jax.tree_util.tree_unflatten(
         tree_treedef, [P()] * tree_treedef.num_leaves)
     lm_spec = jax.tree_util.tree_unflatten(
@@ -184,25 +216,11 @@ def _fast_segmented_sharded_program(mesh: Mesh, opt: RenderOptions,
         out_specs=(P(RAY_AXIS), P()),
         check_vma=False)
     def _run(tree, lm, pix, transform, intr, rot_dirs, *skip):
-        # raygen local to the shard: arithmetic on pixel indices
-        dirs_p, cen = screen2worlddir_indices(
-            pix, width, intr[0], intr[1], intr[2], intr[3], transform)
-        vdirs_p = rodrigues(rot_dirs, dirs_p)
-        outs, ovs = [], []
-        off = 0
-        for c_chunks, md in seg_counts:
-            n = c_chunks * chunk_size
-            sl = slice(off, off + n)
-            res = render_rays_fast(
-                tree, lm, dirs_p[sl], vdirs_p[sl], cen, opt,
-                max_dense=md,
-                chunk_size=chunk_size if c_chunks > 1 else 0,
-                skip_table=skip[0] if skip else None)
-            outs.append(res.out)
-            ovs.append(res.overflow)
-            off += n
-        out = jnp.concatenate(outs, 0)
-        seg_ov = jnp.stack(ovs).astype(jnp.int32)
+        out, ovs = segmented_shard_body(
+            tree, lm, pix, transform, intr, rot_dirs,
+            skip[0] if skip else None, opt=opt, seg_counts=seg_counts,
+            chunk_size=chunk_size, width=width)
+        seg_ov = ovs.astype(jnp.int32)
         seg_ov = jax.lax.pmax(seg_ov, RAY_AXIS)
         if other:
             seg_ov = jax.lax.pmax(seg_ov, other)

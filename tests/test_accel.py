@@ -491,3 +491,34 @@ def test_zero_record_segment():
         tree, lm, cam, opt, order=order,
         segments=((0.875, 0), (0.125, 16)), chunk_size=cs)
     assert bool(np.asarray(seg_ov2)[0])
+
+
+def test_zero_record_segment_depth_mode():
+    """Depth mode x zero-record segments: the reference writes alpha 1
+    for EVERY ray in depth mode (rt_core.cuh:254-255, 297-298, 325-327;
+    miss rays at :195) — the closed-form max_dense==0 composite must
+    honor that, or the background leaks into depth renders for miss and
+    empty rays (confirmed round-2 bug; empty rays never overflow, so
+    escalation cannot catch it)."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 24.0)   # wide FOV: many rays miss the sphere
+    cam.center = np.array([-1.6, 0.3, 1.5], np.float32)
+    cam._update()
+    opt = RenderOptions(render_depth=True, background_brightness=0.7)
+    cs = 256
+    img0, _, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True)
+    nrec_np = np.asarray(nrec)
+    assert (nrec_np == 0).mean() > 0.25   # fixture has empty rays
+    order = accel.order_from_hints(steps, nrec)
+    frac0 = (np.floor((nrec_np == 0).mean() * 16) / 16) - 1 / 16
+    img1, seg_ov = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((frac0, 0), (1 - frac0, 16)), chunk_size=cs)
+    assert not bool(np.asarray(seg_ov).any())
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    # the specific round-2 repro: every depth-mode pixel is opaque, so
+    # the composited frame carries no background anywhere
+    assert np.asarray(img1)[..., 3].min() == 1.0
