@@ -244,15 +244,15 @@ def composite_results(results: jax.Array,      # [R, S, out_dim]
 # Leaf-map accelerated collection (TPU fast path)
 # ----------------------------------------------------------------------
 @functools.partial(
-    jax.jit, static_argnames=("opt", "chunk_size", "zero_frac",
-                              "with_overflow"))
+    jax.jit, static_argnames=("opt", "chunk_size",
+                              "with_overflow", "segments"))
 def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
                    cen_world: jax.Array, opt: RenderOptions,
                    chunk_size: int = 0,
                    skip_table=None,
                    order=None,
-                   zero_frac: float = 0.0,
-                   with_overflow: bool = False):
+                   with_overflow: bool = False,
+                   segments=None):
     """March with the dense leaf map, recording only the tree-space ray
     parameter ``t`` of each recorded sample (one f32 per slot via
     one-hot select — TPU scatter is pathological).  The full sample rows
@@ -272,51 +272,65 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
     unpermuted before returning — outputs are identical to the
     unordered call.
 
-    ``zero_frac`` (requires ``order`` from ns-sorted hints and
-    chunking): the first ``zero_frac`` of sorted chunks — the rays the
-    hints say record NOTHING — march with no record buffer at all
-    (the analogue of the render path's zero-record segments; ~52% of
-    1080p shell rays).  A ray there that DOES find a sample (stale
-    hint) raises the returned overflow flag so the caller re-collects
-    with ``zero_frac=0`` — sample records stay exactly the reference's
-    silent-cap semantics (rt_core.cuh:514).
+    ``segments`` (requires ``order`` from ns-sorted hints + chunking)
+    applies the render path's CDF-budget treatment
+    (accel.DEFAULT_SEGMENTS) to collection: a tuple of (ray fraction,
+    S budget) classes over the ns-sorted order — cheap recorders march
+    with a small record buffer (the [r, S] one-hot record select and
+    the while-carry shrink with S, and the (frac, 0) class marches
+    with no record buffer at all — ~52% of 1080p shell rays), heavy
+    ones keep the full ``max_guided_samples``.  Reduced-budget
+    segments raise their overflow flag when a ray exceeds the class
+    budget (stale hints); the caller escalates those segments only.
+    At the full budget the cap is the reference's SILENT one
+    (rt_core.cuh:514) and never flags.  Records are identical to the
+    unsegmented call whenever no flag is raised.  Returns
+    (t_buf, ns, seg_overflow bool [n_segments]).
 
-    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32) and,
-    when ``zero_frac`` > 0, a third bool: zero-segment overflow.
+    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32).
     """
     if order is not None:
         perm, inv = order
         R0 = dirs.shape[0]
         dirs_s = dirs.at[perm].get(unique_indices=True, mode="clip")
-        if zero_frac > 0.0 and chunk_size and R0 % chunk_size == 0 \
-                and R0 > chunk_size:
-            n_chunks = R0 // chunk_size
-            nz = min(max(int(zero_frac * n_chunks), 0), n_chunks - 1)
-            cut = nz * chunk_size
+        if segments is not None and chunk_size \
+                and R0 % chunk_size == 0 and R0 > chunk_size:
+            from .accel import segment_chunks
+            seg_counts = segment_chunks(R0 // chunk_size, segments)
             S = opt.max_guided_samples
-            _, _, overflow = collect_t_fast(
-                tree, leaf_map, dirs_s[:cut], cen_world,
-                opt.replace(max_guided_samples=0),
-                chunk_size=chunk_size, skip_table=skip_table,
-                with_overflow=True)
-            tb, nsb = collect_t_fast(
-                tree, leaf_map, dirs_s[cut:], cen_world, opt,
-                chunk_size=chunk_size, skip_table=skip_table)
-            t_s = jnp.concatenate(
-                [jnp.full((cut, S), -1.0, jnp.float32), tb])
-            ns_s = jnp.concatenate([jnp.zeros((cut,), jnp.int32), nsb])
+            t_parts, ns_parts, ovs = [], [], []
+            off = 0
+            for c_chunks, S_seg in seg_counts:
+                n = c_chunks * chunk_size
+                S_eff = min(S_seg, S)
+                tb, nsb, ovb = collect_t_fast(
+                    tree, leaf_map, dirs_s[off:off + n], cen_world,
+                    opt.replace(max_guided_samples=S_eff),
+                    chunk_size=chunk_size if c_chunks > 1 else 0,
+                    skip_table=skip_table, with_overflow=True)
+                if S_eff < S:
+                    tb = jnp.concatenate(
+                        [tb, jnp.full((n, S - S_eff), -1.0,
+                                      jnp.float32)], axis=1)
+                # full-budget classes keep the reference's silent cap
+                ovs.append(ovb if S_eff < S else jnp.asarray(False))
+                t_parts.append(tb)
+                ns_parts.append(nsb)
+                off += n
+            t_s = jnp.concatenate(t_parts)
+            ns_s = jnp.concatenate(ns_parts)
             return (t_s.at[inv].get(unique_indices=True,
                                     mode="clip")[:R0],
                     ns_s.at[inv].get(unique_indices=True,
-                                     mode="clip")[:R0], overflow)
+                                     mode="clip")[:R0],
+                    jnp.stack(ovs))
         t_s, ns_s = collect_t_fast(
             tree, leaf_map, dirs_s, cen_world, opt,
             chunk_size=chunk_size, skip_table=skip_table)
-        out = (t_s.at[inv].get(unique_indices=True,
-                               mode="clip")[:R0],
-               ns_s.at[inv].get(unique_indices=True,
-                                mode="clip")[:R0])
-        return out + (jnp.asarray(False),) if zero_frac > 0.0 else out
+        return (t_s.at[inv].get(unique_indices=True,
+                                mode="clip")[:R0],
+                ns_s.at[inv].get(unique_indices=True,
+                                 mode="clip")[:R0])
     from .accel import _f16_bits_to_f32
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
@@ -527,6 +541,40 @@ def _compact_reconstruct(tree: N3Tree, dirs: jax.Array, vdirs: jax.Array,
     return x, cluster_ids, jnp.where(valid, z, 0.0), ray_of_p, offs
 
 
+def segments_from_ns_hints(ns, max_samples: int,
+                           quant: int = 16) -> tuple:
+    """CDF-matched (fraction, S budget) classes for the segmented
+    guided collect, from a previous invalidation's per-ray sample
+    counts (the guided analogue of accel.DEFAULT_SEGMENTS, whose
+    fractions came from the measured render-nrec CDF).
+
+    Budget classes are powers of two up to ``max_samples``; each
+    class's ray fraction is its CDF share floored to 1/``quant`` with
+    one quantum of safety margin, so sorted rays in a class genuinely
+    fit its budget even as hints drift a little (overflow escalation
+    remains the correctness backstop).  Fractions are coarse on
+    purpose: they are static jit keys, and the caller should reuse one
+    segmentation across camera moves rather than re-deriving per frame.
+    """
+    ns = np.asarray(ns)
+    classes = [0]
+    c = 1
+    while c < max_samples:
+        classes.append(c)
+        c *= 2
+    segs = []
+    used = 0.0
+    for cl in classes:
+        f = np.floor(float((ns <= cl).mean()) * quant) / quant \
+            - 1.0 / quant
+        f = max(0.0, min(f, 1.0 - 1.0 / quant))
+        if f > used:
+            segs.append((f - used, cl))
+            used = f
+    segs.append((1.0 - used, max_samples))
+    return tuple(segs)
+
+
 def _seg_scan_prod(flag: jax.Array, v: jax.Array) -> jax.Array:
     """Segmented inclusive cumprod: ``flag`` marks segment starts."""
     def comb(a, b):
@@ -641,7 +689,7 @@ def _composite_frame_compact_jit(res_c, z_c, ray_of_p, offs, ns,
 def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                            opt: RenderOptions, chunk_size: int = 1 << 15,
                            skip_table=None, order=None,
-                           zero_frac: float = 0.0):
+                           segments=None):
     """Leaf-map accelerated guided collection + MLP query, fully
     device-resident (reference invalidation path,
     cuda_renderer.cpp:107-134).
@@ -673,31 +721,43 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         tail = jnp.arange(R, R + pad, dtype=jnp.int32)
         order = (jnp.concatenate([order[0], tail]),
                  jnp.concatenate([order[1], tail]))
-    # zero_frac is a static jit arg of the collect — quantize to 1/64
-    # steps so slider-continuous hint fractions can't accumulate
-    # executables
-    zero_frac = int(max(0.0, min(zero_frac, 1.0)) * 64) / 64.0
-    if order is not None and zero_frac > 0.0:
-        out = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
-                             chunk_size=chunk_size,
-                             skip_table=skip_table, order=order,
-                             zero_frac=zero_frac)
-        t_buf, ns = out[0], out[1]
-        if bool(out[2]):
-            # stale hints: some "records nothing" ray found a sample —
-            # re-collect with full budgets (records must stay exactly
-            # the reference's silent-cap semantics)
-            t_buf, ns = collect_t_fast(
+    total = None
+    if order is not None and segments is not None:
+        # CDF-budget segmented collect (VERDICT r2 item 4): reduced S
+        # budgets for the hint-cheap ray classes.  The per-segment
+        # overflow flags ride the SAME device fetch as the total
+        # sample count the compact budget needs anyway, so — unlike
+        # the zero_frac prototype — the stale-hint check costs NO
+        # extra host sync; escalation (doubling the overflowed class)
+        # is the rare stale-hint path only.
+        segs = list(segments)
+        while True:
+            t_buf, ns, seg_ov = collect_t_fast(
                 tree, leaf_map, dirs_p, cen, opt,
                 chunk_size=chunk_size, skip_table=skip_table,
-                order=order)
+                order=order, segments=tuple(segs))
+            t_buf, ns = t_buf[:R], ns[:R]
+            stats = np.asarray(jnp.concatenate(
+                [jnp.sum(ns, dtype=jnp.int32)[None],
+                 seg_ov.astype(jnp.int32)]))     # ONE combined fetch
+            total = int(stats[0])
+            ov = stats[1:] > 0
+            if not ov.any():
+                break
+            for i, hit in enumerate(ov):
+                if hit:
+                    segs[i] = (segs[i][0],
+                               max(1, min(opt.max_guided_samples,
+                                          segs[i][1] * 2)))
     else:
-        t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen, opt,
-                                   chunk_size=chunk_size,
-                                   skip_table=skip_table, order=order)
-    t_buf, ns = t_buf[:R], ns[:R]
+        t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen,
+                                   opt, chunk_size=chunk_size,
+                                   skip_table=skip_table,
+                                   order=order)
+        t_buf, ns = t_buf[:R], ns[:R]
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
-    total = int(jnp.sum(ns))                 # one scalar fetch
+    if total is None:
+        total = int(jnp.sum(ns))             # one scalar fetch
     # static compact budget: next 64k multiple (power-of-2 sizing
     # padded ~1.5x at the 1080p benchmark scale — every budget-sized
     # op, the grouped matmuls included, paid for the padding; 64k
@@ -730,6 +790,18 @@ def _collect_and_query_fast_host(tree: N3Tree, leaf_map, model, camera,
     dominant invalidation cost); sample rows and cluster ids are
     reconstructed from ``t`` on the host over valid entries only — the
     same rt_core.cuh:514-549 float32 math as :func:`reconstruct_samples`.
+
+    PERF CLIFF (accepted for a fallback): unlike the device path, the
+    MLP results are scattered back into a PADDED ``[R, S, out_dim]``
+    host array (and a padded ``z_vals``) before re-upload — exactly the
+    [R, S]-shaped traffic the round-2 compact layout eliminated.  At
+    1080p / S=32 that is ~0.5 GB of host numpy and a multi-second
+    upload through the dev tunnel; the padded composite then pays the
+    [R, S] shading cost every frame.  This path only runs when the
+    model has no converted JAX weights (eager-torch fallback), where
+    the MLP forward itself is host-bound anyway, so the cliff does not
+    change the order of magnitude — but do NOT route converted models
+    through here.
     """
     dirs, cen = screen2worlddir(
         camera.width, camera.height, camera.fx, camera.fy,

@@ -53,6 +53,10 @@ class Viewer:
         self._prune_happened = False
         self._can_reuse_results = False
         self._guided_cache = None
+        # monotone generation stamp for _guided_cache: the composited-
+        # image cache keys on this (NOT id(cache) — ids can be reused
+        # after the old dict is collected, serving a stale frame)
+        self._guided_gen = 0
         # leaf-map accelerated static-view path (ops/accel.py)
         self.use_fast_path = True
         # traced continuous knobs: slider-style changes to step_size /
@@ -65,6 +69,18 @@ class Viewer:
         self.use_prepass = True
         self._skip_table = None
         self._skip_thresh = None
+        # CDF-budget segmented guided collect (guided.py collect_t_fast
+        # segments): once hints exist, hint-cheap ray classes march
+        # with reduced record buffers (the ~half that record nothing
+        # march with none).  Records stay exactly the reference's
+        # silent-cap semantics via per-segment overflow escalation, and
+        # the stale-hint flags ride the SAME device fetch as the
+        # compact-budget sample count, so — unlike the retired
+        # zero_frac prototype — this costs no extra host sync and is
+        # on by default.  Segmentation is derived once per
+        # order-lifetime (fractions are static jit keys).
+        self.use_guided_segments = True
+        self._guided_segments = None
         # initial dense-record budget for hint-gathering frames; steady
         # frames use per-segment budgets (ops/accel.DEFAULT_SEGMENTS)
         # and both escalate on overflow
@@ -116,6 +132,10 @@ class Viewer:
             basis_minmax=(0, max(basis_dim - 1, 0)))
         self._can_reuse_results = False
         self._guided_cache = None
+        # a new tree shifts the sample-count distribution wholesale;
+        # re-derive budget classes (stale ones stay correct via
+        # escalation, but would thrash it)
+        self._guided_segments = None
 
     def clear(self):
         self.tree = None
@@ -428,24 +448,33 @@ class Viewer:
                     if g_order is not None and g_order[0].shape[0] != \
                             cam.width * cam.height:
                         g_order = None
-                    # (zero_frac segmenting exists in collect_t_fast
-                    # but measured NET NEGATIVE here: the mid-pipeline
-                    # overflow fetch pays a host sync and zero-class
-                    # rays are the cheap ones — see PERFORMANCE.md)
+                    if g_order is None:
+                        self._guided_segments = None
+                    segs = (self._guided_segments
+                            if self.use_guided_segments else None)
                     cache = guided.collect_and_query_fast(
                         self.tree, self._leaf_map, self.model, cam, opt,
                         chunk_size=self.fast_chunk_size,
-                        skip_table=skip_table, order=g_order)
+                        skip_table=skip_table, order=g_order,
+                        segments=segs)
                     from .ops.accel import order_from_hints
                     ns_h = np.asarray(cache["num_samples"])
                     self._guided_order = order_from_hints(
                         np.zeros(ns_h.shape[0], np.int32), ns_h)
+                    # derive the budget classes once per order-lifetime
+                    # (fractions are static jit keys; escalation covers
+                    # drift until the next full re-derivation)
+                    if self._guided_segments is None:
+                        self._guided_segments = \
+                            guided.segments_from_ns_hints(
+                                ns_h, opt.max_guided_samples)
                     res = None
                 else:
                     cache, res = guided.collect_and_query(
                         self.tree, self.model, cam, opt,
                         track_visit=track_visit)
             self._guided_cache = (cache, res)
+            self._guided_gen += 1
             self._can_reuse_results = True
         cache, res = self._guided_cache
         # The composite depends only on (cache, camera, options); on
@@ -454,7 +483,7 @@ class Viewer:
         # too.  The reference recomputes it every frame only because its
         # GL loop must redraw (render_nerf_results each frame,
         # cuda_renderer.cpp:138).
-        key = (id(cache), cam.transform.tobytes(), cam.fx, cam.fy,
+        key = (self._guided_gen, cam.transform.tobytes(), cam.fx, cam.fy,
                cam.cx, cam.cy, cam.width, cam.height, opt,
                self.use_pallas_composite)
         img_cache = getattr(self, "_guided_img_cache", None)

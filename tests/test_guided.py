@@ -302,11 +302,13 @@ def test_ordered_collect_identical():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_zero_frac_collect_identical_and_escalates():
-    """zero_frac collect: rays the hints mark as recording nothing
-    march without record buffers — outputs identical; a stale hint
-    (a zero-class ray that now records) raises the overflow so the
-    caller re-collects with full budgets."""
+def test_segmented_collect_identical_and_escalates():
+    """CDF-budget segmented collect (render-path treatment applied to
+    collection): hint-cheap ray classes march with reduced record
+    buffers (zero class with none) — records identical; stale hints
+    (a ray exceeding its class budget) raise that segment's overflow
+    and the caller escalates that class only, still converging to
+    identical records."""
     from mega_nerf_viewer_tpu.ops import accel
     tree = sphere_tree(basis_dim=1, depth=4)
     model = MegaNeRFModel.synthetic(
@@ -322,21 +324,26 @@ def test_zero_frac_collect_identical_and_escalates():
                                       chunk_size=64)
     ns = np.asarray(a["num_samples"])
     order = accel.order_from_hints(np.zeros(ns.shape[0], np.int32), ns)
-    zf = max(0.0, float((ns == 0).mean()) - 0.03)
-    assert zf > 0.1, "fixture should have a real zero class"
+    segs = guided.segments_from_ns_hints(ns, opt.max_guided_samples)
+    assert segs[0][1] == 0 and segs[0][0] > 0.1, \
+        "fixture should have a real zero class"
+    assert len(segs) >= 3, "fixture should spread over several classes"
     b = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                       chunk_size=64, order=order,
-                                      zero_frac=zf)
+                                      segments=segs)
     np.testing.assert_array_equal(ns, np.asarray(b["num_samples"]))
     total = int(ns.sum())
     np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
                                   np.asarray(b["z_c"])[:total])
-    # stale hints: push the whole frame into the zero class — the
-    # escalation path must still produce identical records
+    # stale hints: push the whole frame into starved classes — the
+    # per-segment escalation must still produce identical records
     R = ns.shape[0]
     bad_order = accel.order_from_hints(np.zeros(R, np.int32),
                                        np.zeros(R, np.int32))
-    c = guided.collect_and_query_fast(tree, lm, model, cam, opt,
-                                      chunk_size=64, order=bad_order,
-                                      zero_frac=0.9)
+    c = guided.collect_and_query_fast(
+        tree, lm, model, cam, opt, chunk_size=64, order=bad_order,
+        segments=((0.5, 0), (0.4, 1), (0.1, 16)))
     np.testing.assert_array_equal(ns, np.asarray(c["num_samples"]))
+    total = int(ns.sum())
+    np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
+                                  np.asarray(c["z_c"])[:total])

@@ -184,6 +184,34 @@ def test_sustained_refinement_session():
                 assert parent[c + off] == c * 8 + ci
 
 
+def test_viewer_guided_segmented_collect():
+    """use_guided_segments (default on): the second invalidation (hints
+    exist) routes hint-cheap ray classes through reduced-budget collect
+    segments — frames must be identical to the unsegmented path
+    (records keep the reference's silent-cap semantics either way,
+    rt_core.cuh:514)."""
+    imgs = []
+    for flag in (False, True):
+        tree = sphere_tree(basis_dim=1, depth=3, max_capacity=3000)
+        cam = Camera(16, 16, 7.0)     # wide FOV: many rays miss
+        cam.center = np.array([-1.6, 0.2, 1.5], np.float32)
+        v = Viewer(tree, camera=cam,
+                   options=RenderOptions(use_guided_sampling=True,
+                                         max_guided_samples=8))
+        v.model = MegaNeRFModel.synthetic(
+            data_dim=4, n_clusters=4, grid_dim=(2, 2),
+            min_position=(-2, -2, -2), max_position=(2, 2, 2))
+        v.use_guided_segments = flag
+        v.render()                    # first invalidation builds hints
+        v.camera.move(np.array([0.05, 0.0, 0.0]))
+        imgs.append(np.asarray(v.render()))
+        if flag:                      # fixture truly exercised the path
+            assert v._guided_segments is not None
+            assert v._guided_segments[0][1] == 0
+            assert v._guided_segments[0][0] > 1.0 / 16.0
+    np.testing.assert_array_equal(imgs[1], imgs[0])
+
+
 def test_guided_cache_rebuilt_when_splitting_toggled_on():
     """A guided cache built by the vote-free fast collector (res=None)
     must be rebuilt with votes when 'M' toggles splitting on with an
