@@ -33,7 +33,7 @@ def main():
 
     opt = RenderOptions()
     # Pallas entry-skip prepass table (bit-identical pixels; see
-    # ops/pallas_march.py) — register-resident level-4+5 march through
+    # ops/pallas_march.py) — register-resident level-4+5+6 march through
     # entry empty space, ~79% of all march steps on this fixture
     from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
     skip_table = build_skip_table(tree, opt.sigma_thresh)
@@ -109,6 +109,115 @@ def main():
           f"chunks={int(tree.capacity)} depth={depth} "
           f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "
           f"alpha_max={alpha:.3f}", file=sys.stderr)
+
+    # ------------------------------------------------------------------
+    # v5e-8 slice projection, measured HERE (not doc-derived): the
+    # sharded 1080p program (parallel.render_frame_fast_segmented_
+    # sharded) replicates tree + leaf map, shards rays chunk-granularly
+    # over 8 chips, and has NO intra-frame collective except a scalar
+    # overflow pmax — so the frame time on a slice is the slowest
+    # chip's shard time plus the cross-chip output unpermute.  We time
+    # each of the 8 shard workloads (exactly the program's per-shard
+    # body, segmented_shard_body, via the same jit entry) on this one
+    # chip, plus the per-chip share of the [R, 4] unpermute gather, and
+    # project: fps = 1 / (worst_shard + unpermute_share).  ICI transfer
+    # for the unpermute (~29 MB/frame aggregate) is NOT measurable here
+    # (no slice attached) and is the projection's stated residual risk.
+    # ------------------------------------------------------------------
+    try:
+        shard_ms, unperm_ms = _time_v5e8_shards(
+            jax, jnp, tree, leaf_map, cam, opt, order, segments,
+            skip_table, width)
+        worst = max(shard_ms)
+        med = sorted(shard_ms)[len(shard_ms) // 2]
+        proj = 1000.0 / (worst + unperm_ms)
+        print(f"# v5e-8 projected: {proj:.1f} fps 1080p "
+              f"(8 shard timings ms: "
+              f"{', '.join(f'{m:.2f}' for m in shard_ms)}; "
+              f"median {med:.2f}, worst {worst:.2f}, "
+              f"unpermute share {unperm_ms:.2f}; method: per-shard "
+              f"body of the sharded program timed on 1 chip, scalar "
+              f"pmax is the only intra-frame collective, ICI transfer "
+              f"unmeasured)", file=sys.stderr)
+    except Exception as e:  # projection is best-effort reporting
+        print(f"# v5e-8 projection unavailable: {e!r}", file=sys.stderr)
+
+
+def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
+                      segments, skip_table, width,
+                      n_shards=8, cs=2176, n_reps=10):
+    """Time the 8 per-shard workloads of the sharded segmented frame on
+    the local chip.  Returns ([ms] * n_shards, unpermute_share_ms)."""
+    import functools
+    from mega_nerf_viewer_tpu.parallel.render import segmented_shard_body
+    from mega_nerf_viewer_tpu.ops.accel import segment_chunks
+
+    perm, inv = order
+    R = perm.shape[0]
+    quantum = n_shards * cs
+    pad = (-R) % quantum
+    pix = perm if not pad else jnp.concatenate(
+        [perm, jnp.broadcast_to(perm[-1:], (pad,))])
+    Rp = R + pad
+    per = Rp // n_shards
+    # chunk-granular deal, exactly as the sharded program cuts it
+    pix_str = pix.reshape(-1, n_shards, cs).transpose(1, 0, 2)
+    shards = [jnp.asarray(pix_str[s].reshape(-1)) for s in range(n_shards)]
+    seg_counts = segment_chunks(per // cs, tuple(segments))
+
+    transform = jnp.asarray(cam.transform)
+    intr = jnp.asarray((cam.fx, cam.fy, cam.cx, cam.cy), jnp.float32)
+    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
+
+    body = jax.jit(functools.partial(
+        segmented_shard_body, opt=opt, seg_counts=seg_counts,
+        chunk_size=cs, width=width))
+
+    # settle shared budgets at shard scale (mirrors pmax escalation)
+    seg_counts = list(seg_counts)
+    while True:
+        ov = np.zeros(len(seg_counts), bool)
+        for s in shards:
+            _, o = body(tree, leaf_map, s, transform, intr, rot_dirs,
+                        skip_table)
+            ov |= np.asarray(o)
+        if not ov.any():
+            break
+        for i, hit in enumerate(ov):
+            if hit:
+                seg_counts[i] = (seg_counts[i][0],
+                                 max(1, seg_counts[i][1] * 2))
+                assert seg_counts[i][1] <= 128
+        body = jax.jit(functools.partial(
+            segmented_shard_body, opt=opt,
+            seg_counts=tuple(seg_counts), chunk_size=cs, width=width))
+
+    def time_reps(fn):
+        out0 = fn()                       # warm
+        float(out0.sum())
+        t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for _ in range(n_reps):
+            acc = acc + fn().sum()
+        float(acc)                        # force the chain
+        return (time.perf_counter() - t0) * 1000.0 / n_reps
+
+    shard_ms = [time_reps(lambda s=s: body(
+        tree, leaf_map, s, transform, intr, rot_dirs, skip_table)[0])
+        for s in shards]
+
+    # per-chip share of the output unpermute: each chip gathers its
+    # [per, 4] output rows (gather cost is per ROW and locality-free —
+    # PERFORMANCE.md fact 1 — so a local gather of per rows bounds the
+    # on-chip cost; the ICI movement of remote rows is not measurable
+    # on one chip and stays a stated residual)
+    full = jnp.zeros((Rp, 4), jnp.float32) + 0.5
+    idx = jnp.asarray(np.random.default_rng(0).permutation(Rp)[:per]
+                      .astype(np.int32))
+    unperm = jax.jit(lambda a, i: a.at[i].get(unique_indices=True,
+                                              mode="clip"))
+    unperm_ms = time_reps(lambda: unperm(full, idx))
+    return shard_ms, unperm_ms
 
 
 if __name__ == "__main__":

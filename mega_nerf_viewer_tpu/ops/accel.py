@@ -600,10 +600,16 @@ def render_rays_fast(tree: N3Tree,
                             sample_vote, nrec, skips)
 
 
+# Escalation cap for the device-side fallback march — matches the host
+# escalation protocol's md <= 128 ceiling (Viewer/bench).
+_FALLBACK_MD = 128
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("opt", "width", "seg_counts", "chunk_size", "unroll",
-                     "need_votes", "return_hints", "group"))
+                     "need_votes", "return_hints", "group",
+                     "device_fallback"))
 def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 perm: jax.Array, inv: jax.Array,
                 transform: jax.Array, intr: jax.Array,
@@ -612,7 +618,8 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 skip_table: Optional[jax.Array],
                 *, opt: RenderOptions, width: int,
                 seg_counts: tuple, chunk_size: int, unroll: int,
-                need_votes: bool, return_hints: bool, group: int = 1):
+                need_votes: bool, return_hints: bool, group: int = 1,
+                device_fallback: bool = False):
     """One-dispatch fast frame: raygen -> (prepass) -> per-segment march
     -> unpermute -> background composite, all inside a single jit.
 
@@ -628,6 +635,24 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
     ``order_from_hints(..., group=g)``): the final unpermute then moves
     [R/g, 4g] rows instead of [R, 4] — the XLA gather costs per row, so
     this is ~g-fold cheaper (10.8 -> ~3 ms at 1080p g=4).
+
+    ``device_fallback``: fold budget escalation into the compiled
+    program — when any reduced-budget segment overflows (stale
+    hints/budgets under camera motion), an XLA conditional re-marches
+    the whole sorted frame at the ``_FALLBACK_MD`` cap ON DEVICE, so
+    the returned frame is always correct and the caller never needs a
+    synchronous overflow fetch (the axon dev link charges ~27 ms per
+    mid-pipeline host sync; production links ~1 ms).  ``seg_overflow``
+    still reports which budgets went stale — check it ASYNCHRONOUSLY
+    (e.g. one frame late) to refresh budgets/hints — and
+    ``fb_overflow`` reports the pathological case where even the cap
+    overflowed and only the exact renderer is correct.  MEASURED COST:
+    the conditional is a fusion/scheduling barrier — ~24 ms/frame at
+    1080p steady state on v5e (85 vs 61 ms), even though a standalone
+    scalar-predicate cond with an untaken heavy branch times at ~0 —
+    so prefer the Viewer's "async" overflow policy for throughput and
+    reserve "device" for callers needing both exactness and
+    sync-freedom.
     """
     from .render import composite_background
     from .rays import screen2worlddir_indices, rodrigues
@@ -661,7 +686,54 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             nrec_l.append(res.nrec)
             skips_l.append(res.skips)
         off += n
-    out = jnp.concatenate(outs, 0)[:R]
+
+    def pack(out_cat, sv, pv, st, nr, sk, fb_ov):
+        parts = [out_cat]
+        if need_votes:
+            parts += [sv, pv]
+        if return_hints:
+            parts += [st, nr, sk]
+        return tuple(parts) + (fb_ov,)
+
+    fb_overflow = None
+    if device_fallback:
+        def _seg(_):
+            return pack(
+                jnp.concatenate(outs, 0),
+                jnp.concatenate(svs, 0) if need_votes else None,
+                jnp.concatenate(pvs, 0) if need_votes else None,
+                jnp.concatenate(steps_l, 0) if return_hints else None,
+                jnp.concatenate(nrec_l, 0) if return_hints else None,
+                jnp.concatenate(skips_l, 0) if return_hints else None,
+                jnp.asarray(False))
+
+        def _fb(_):
+            res = render_rays_fast(
+                tree, leaf_map, dirs_p, vdirs_p, cen, opt,
+                max_dense=_FALLBACK_MD, chunk_size=chunk_size,
+                unroll=unroll, need_votes=need_votes, dyn=dyn,
+                skip_table=skip_table)
+            return pack(res.out,
+                        res.split_vote if need_votes else None,
+                        res.sample_vote if need_votes else None,
+                        res.steps if return_hints else None,
+                        res.nrec if return_hints else None,
+                        res.skips if return_hints else None,
+                        res.overflow)
+
+        sel = jax.lax.cond(jnp.any(jnp.stack(ovs)), _fb, _seg, None)
+        i = 0
+        out = sel[i][:R]
+        i += 1
+        if need_votes:
+            svs, pvs = [sel[i]], [sel[i + 1]]
+            i += 2
+        if return_hints:
+            steps_l, nrec_l, skips_l = [sel[i]], [sel[i + 1]], [sel[i + 2]]
+            i += 3
+        fb_overflow = sel[-1]
+    else:
+        out = jnp.concatenate(outs, 0)[:R]
     # unpermute with the unique-indices hint: inv is a permutation, and
     # XLA's gather occasionally lowers jnp.take ~4x slower than the
     # hinted .at[].get on identical shapes (measured 48.6 vs 10.6 ms
@@ -678,6 +750,8 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             unique_indices=True, mode="clip")
 
     ret = dict(img=img, seg_overflow=jnp.stack(ovs))
+    if fb_overflow is not None:
+        ret["fb_overflow"] = fb_overflow
     if need_votes:
         ret["split_vote"] = unperm(svs)
         ret["sample_vote"] = unperm(pvs)
@@ -934,7 +1008,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
                                 need_votes: bool = False,
                                 dynamic_knobs: bool = False,
                                 skip_table: Optional[jax.Array] = None,
-                                group: int = 1):
+                                group: int = 1,
+                                device_fallback: bool = False):
     """Record-sorted segmented fast frame.
 
     ``order`` must come from :func:`order_from_hints` (rays sorted by
@@ -948,23 +1023,40 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     ray exceeding its segment's budget raises that segment's overflow
     flag so the caller can escalate (double the budget and re-render).
 
+    ``device_fallback`` folds escalation into the compiled frame (see
+    ``_frame_core``): the returned image is then correct even when
+    budgets are stale — ``seg_overflow`` becomes an asynchronous
+    staleness signal (plus ``fb_overflow``, last element, for the
+    pathological beyond-cap case) instead of a mandatory synchronous
+    check, eliminating the per-frame host round trip under camera
+    motion.
+
     Returns (img [H, W, 4], seg_overflow bool [n_segments],
-    [split_vote, sample_vote] when need_votes) — votes in pixel order.
+    [split_vote, sample_vote] when need_votes[, fb_overflow when
+    device_fallback]) — votes in pixel order.
     """
     w, h = camera.width, camera.height
     R = w * h
     perm, inv = order
     n_chunks = (R + chunk_size - 1) // chunk_size
     if n_chunks < len(segments):
+        # small-frame degenerate path: fewer chunks than segment
+        # classes.  Under device_fallback the always-correct contract
+        # must hold without a host check, so march straight at the
+        # escalation cap (frames this small are cheap anyway).
         res = render_frame_fast(
             tree, leaf_map, camera, opt,
-            max_dense=max(md for _, md in segments),
+            max_dense=_FALLBACK_MD if device_fallback
+            else max(md for _, md in segments),
             chunk_size=chunk_size, order=order, unroll=unroll,
             need_votes=need_votes, dynamic_knobs=dynamic_knobs,
             skip_table=skip_table)
         img, overflow = res[0], res[1]
         ov = jnp.broadcast_to(overflow, (len(segments),))
-        return ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
+        out = ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
+        if device_fallback:
+            out = out + (overflow,)
+        return out
 
     transform, intr, rot_dirs, bg_value, dyn, opt = _frame_core_args(
         camera, opt, dynamic_knobs)
@@ -973,9 +1065,11 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
         dyn, skip_table, opt=opt, width=w,
         seg_counts=segment_chunks(n_chunks, segments),
         chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
-        return_hints=False, group=group)
+        return_hints=False, group=group, device_fallback=device_fallback)
     img = res["img"].reshape(h, w, 4)
+    out = (img, res["seg_overflow"])
     if need_votes:
-        return (img, res["seg_overflow"], res["split_vote"],
-                res["sample_vote"])
-    return img, res["seg_overflow"]
+        out = out + (res["split_vote"], res["sample_vote"])
+    if device_fallback:
+        out = out + (res["fb_overflow"],)
+    return out

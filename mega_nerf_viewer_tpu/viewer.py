@@ -69,6 +69,26 @@ class Viewer:
         self.use_prepass = True
         self._skip_table = None
         self._skip_thresh = None
+        # How the segmented fast path handles stale budget overflow:
+        #  - "sync": check the flags before returning each frame and
+        #    redo if stale — every returned frame is exact.  The check
+        #    is a host round trip per frame: ~1 ms on a production
+        #    link, ~27 ms of device-idle bubble through the axon dev
+        #    tunnel.  Default: correctness first.
+        #  - "async": return the segmented frame without checking;
+        #    flags are read one frame later (zero pipeline stall) and
+        #    retune budgets/hints for FUTURE frames.  A staleness
+        #    event shows ONE transient budget-truncated frame — the
+        #    interactive-motion mode (artifact frames are rare and
+        #    replaced on the next render).
+        #  - "device": escalation folded into the compiled frame as an
+        #    XLA conditional (accel._frame_core device_fallback):
+        #    always exact AND no host sync, but the conditional costs
+        #    a measured ~24 ms/frame at 1080p steady state on v5e
+        #    (fusion barrier), so use it only where both correctness
+        #    and sync-freedom matter more than throughput.
+        self.overflow_policy = "sync"
+        self._pending_ov = None
         # CDF-budget segmented guided collect (guided.py collect_t_fast
         # segments): once hints exist, hint-cheap ray classes march
         # with reduced record buffers (the ~half that record nothing
@@ -178,10 +198,16 @@ class Viewer:
         self._guided_cache = None
 
     # ------------------------------------------------------------------
-    def render(self) -> np.ndarray:
+    def render(self, fetch: bool = True):
         """Render one frame, running refinement/prune per the reference's
         frame orchestration (cuda_renderer.cpp:68-163).  Returns [H, W, 4]
-        f32 RGBA."""
+        f32 RGBA.
+
+        ``fetch=False`` returns the device array without the
+        device->host copy — for TPU-resident consumers (encoders,
+        downstream jitted stages, benchmark checksum chains) the ~33 MB
+        1080p readback is pure waste; the array is fetchable later with
+        ``np.asarray`` and the render dispatch stays asynchronous."""
         cam = self.camera
         opt = self.options
         cam._update()
@@ -248,7 +274,7 @@ class Viewer:
             self._prune_happened = False
 
         self.fps.tick()
-        return np.asarray(img)
+        return np.asarray(img) if fetch else jnp.asarray(img)
 
     # ------------------------------------------------------------------
     def _render_fast(self, need_votes: bool = False):
@@ -257,6 +283,10 @@ class Viewer:
         res carries split/sample votes when requested (else None)."""
         from .ops import accel
         from .ops.render import RenderResult
+        # retune budgets/hints from the PREVIOUS frame's device-computed
+        # overflow flags before reading this frame's order/segments
+        if self.overflow_policy in ("async", "device"):
+            self._check_pending_overflow()
         # a turbo map is only valid for sigma_thresh >= its build
         # threshold (empty-cube safety is monotone upward, not downward)
         # and carries no per-leaf identity for votes — rebuild when the
@@ -303,30 +333,68 @@ class Viewer:
         if order is not None:
             segments = getattr(self, "_segments", None) \
                 or list(accel.DEFAULT_SEGMENTS)
-            out = accel.render_frame_fast_segmented(
-                self.tree, self._leaf_map, self.camera, self.options,
-                order=order, segments=tuple(segments),
-                chunk_size=self.fast_chunk_size,
-                need_votes=need_votes,
-                dynamic_knobs=self.use_dynamic_knobs,
-                skip_table=skip_table)
-            ov = np.asarray(out[1])
-            if ov.any():
-                # segment budgets went stale (camera/tree moved the
-                # record distribution): escalate the overflowed budgets
-                # for future frames and redo THIS frame unsegmented with
-                # fresh ordering hints — a fast-path frame, never the
-                # exact full-frame cliff
-                self._segments = [
-                    (f, min(max(1, md * 2), 128) if ov[min(i, len(ov) - 1)]
-                     else md) for i, (f, md) in enumerate(segments)]
-                order = None
-            else:
-                self._segments = segments
+            if self.overflow_policy == "device":
+                # escalation folded into the compiled frame (see
+                # _frame_core device_fallback): the frame is correct
+                # even under stale budgets; flags are checked one
+                # frame later at the top of this method purely to
+                # retune budgets/hints
+                out = accel.render_frame_fast_segmented(
+                    self.tree, self._leaf_map, self.camera, self.options,
+                    order=order, segments=tuple(segments),
+                    chunk_size=self.fast_chunk_size,
+                    need_votes=need_votes,
+                    dynamic_knobs=self.use_dynamic_knobs,
+                    skip_table=skip_table, device_fallback=True)
+                self._pending_ov = (list(segments), out[1], out[-1])
+                overflow = False
+                img = out[0]
+                if need_votes:
+                    split_vote, sample_vote = out[2], out[3]
+            elif self.overflow_policy == "async":
+                # optimistic: return without checking; a staleness
+                # event shows one transient truncated frame while the
+                # deferred check (top of this method, next frame)
+                # escalates budgets and refreshes hints
+                out = accel.render_frame_fast_segmented(
+                    self.tree, self._leaf_map, self.camera, self.options,
+                    order=order, segments=tuple(segments),
+                    chunk_size=self.fast_chunk_size,
+                    need_votes=need_votes,
+                    dynamic_knobs=self.use_dynamic_knobs,
+                    skip_table=skip_table)
+                self._pending_ov = (list(segments), out[1],
+                                    jnp.asarray(False))
                 overflow = False
                 img = out[0]
                 if need_votes:
                     _, _, split_vote, sample_vote = out
+            else:
+                out = accel.render_frame_fast_segmented(
+                    self.tree, self._leaf_map, self.camera, self.options,
+                    order=order, segments=tuple(segments),
+                    chunk_size=self.fast_chunk_size,
+                    need_votes=need_votes,
+                    dynamic_knobs=self.use_dynamic_knobs,
+                    skip_table=skip_table)
+                ov = np.asarray(out[1])
+                if ov.any():
+                    # segment budgets went stale (camera/tree moved the
+                    # record distribution): escalate the overflowed
+                    # budgets for future frames and redo THIS frame
+                    # unsegmented with fresh ordering hints — a
+                    # fast-path frame, never the exact full-frame cliff
+                    self._segments = [
+                        (f, min(max(1, md * 2), 128)
+                         if ov[min(i, len(ov) - 1)] else md)
+                        for i, (f, md) in enumerate(segments)]
+                    order = None
+                else:
+                    self._segments = segments
+                    overflow = False
+                    img = out[0]
+                    if need_votes:
+                        _, _, split_vote, sample_vote = out
         if order is None:
             # no ordering hints yet (first frame at this resolution):
             # single-segment frame that also returns the hints
@@ -363,6 +431,28 @@ class Viewer:
                 visited=None)
             return img, res
         return img, None
+
+    def _check_pending_overflow(self):
+        """Asynchronous escalation: inspect the PREVIOUS segmented
+        frame's overflow flags (device-computed long ago — this fetch
+        does not stall the pipeline) and retune budgets/hints for
+        future frames.  The frame they belong to was already corrected
+        on device by the fallback branch."""
+        pending = self._pending_ov
+        if pending is None:
+            return
+        self._pending_ov = None
+        segments, seg_ov, fb_ov = pending
+        ov = np.asarray(seg_ov)
+        if not ov.any():
+            return
+        self._segments = [
+            (f, min(max(1, md * 2), 128) if ov[min(i, len(ov) - 1)]
+             else md) for i, (f, md) in enumerate(segments)]
+        # refresh ordering hints next frame; if even the 128 cap
+        # overflowed (fb_ov), the escalation ladder below will walk
+        # the unsegmented path to the exact renderer
+        self._ray_order = None
 
     def _render_with_grid(self, track_visit: bool):
         """Frame with the octree wireframe overlay: the rasterized line

@@ -493,6 +493,52 @@ def test_zero_record_segment():
     assert bool(np.asarray(seg_ov2)[0])
 
 
+def test_device_fallback_escalation():
+    """device_fallback folds budget escalation into the compiled frame
+    (XLA conditional): fresh budgets -> bit-identical to the plain
+    segmented frame with fb_overflow False; starved budgets -> the
+    frame is STILL correct (the cond re-marched at the cap on device)
+    while seg_overflow reports staleness asynchronously."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    img0, ov0, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True)
+    assert not bool(ov0)
+    order = accel.order_from_hints(steps, nrec)
+    segs = ((0.5, 1), (0.25, 2), (0.25, 16))
+    img1, sov1 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=cs)
+    assert not np.asarray(sov1).any()
+    img2, sov2, fb2 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=cs,
+        device_fallback=True)
+    assert not np.asarray(sov2).any() and not bool(fb2)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    # starved budgets: flags fire but the frame stays correct
+    img3, sov3, fb3 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((0.75, 0), (0.25, 1)), chunk_size=cs,
+        device_fallback=True)
+    assert np.asarray(sov3).any() and not bool(fb3)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img3))
+    # votes ride through the fallback branch identically
+    _, _, _, sv0, pv0, _ = accel.render_frame_fast(
+        tree, lm, cam, RenderOptions(max_depth=5), max_dense=16,
+        chunk_size=cs, block=16, need_votes=True, return_nrec=True)
+    _, _, sv3, pv3, fbv = accel.render_frame_fast_segmented(
+        tree, lm, cam, RenderOptions(max_depth=5), order=order,
+        segments=((0.75, 0), (0.25, 1)), chunk_size=cs,
+        need_votes=True, device_fallback=True)
+    np.testing.assert_array_equal(np.asarray(sv3), np.asarray(sv0))
+    np.testing.assert_array_equal(np.asarray(pv3), np.asarray(pv0))
+
+
 def test_zero_record_segment_depth_mode():
     """Depth mode x zero-record segments: the reference writes alpha 1
     for EVERY ray in depth mode (rt_core.cuh:254-255, 297-298, 325-327;

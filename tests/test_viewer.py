@@ -184,6 +184,69 @@ def test_sustained_refinement_session():
                 assert parent[c + off] == c * 8 + ci
 
 
+def _staleness_viewer():
+    # small split batch: keep capacity-pressure pruning (which forces
+    # visit-tracked exact frames) out of the picture; small chunks so
+    # the frame has more chunks than segment classes (the real
+    # segmented path, not the small-frame degenerate one)
+    v = _viewer(w=32, h=32, split_batch_size=64)
+    v.fast_chunk_size = 256
+    return v
+
+
+def _exact(v):
+    from mega_nerf_viewer_tpu.ops.render import render_frame
+    import jax.numpy as jnp
+    want, _ = render_frame(v.tree, 32, 32, v.camera.fx, v.camera.fy,
+                           v.camera.cx, v.camera.cy,
+                           jnp.asarray(v.camera.transform), v.options)
+    return np.asarray(want)
+
+
+def test_viewer_device_policy_keeps_frames_correct():
+    """overflow_policy='device': a frame rendered with stale (too
+    small) segment budgets must still be pixel-correct (the compiled
+    frame re-marches on device), and the NEXT frame retunes budgets
+    from the asynchronously checked flags."""
+    v = _staleness_viewer()
+    v.overflow_policy = "device"
+    v.render()                        # builds hints + settles segments
+    assert v._ray_order is not None
+    # poison the budgets: every segment starved
+    v._segments = [(0.75, 0), (0.25, 1)]
+    v._pending_ov = None
+    img = v.render()                  # stale budgets, device-corrected
+    # vs the exact renderer: different chunk shapes carry ~1e-5 f32
+    # fusion drift (PARITY.md); budget truncation would be ~1e-1
+    np.testing.assert_allclose(img, _exact(v), atol=2e-5)
+    assert v._pending_ov is not None  # flags parked for async check
+    v.render()                        # async check fires here
+    assert v._ray_order is not None   # hints refreshed
+    assert max(md for _, md in v._segments) >= 2  # budgets escalated
+
+
+def test_viewer_async_policy_recovers_next_frame():
+    """overflow_policy='async': a stale-budget frame may be truncated
+    (returned optimistically, no pipeline stall), but the deferred
+    flag check escalates budgets and refreshes hints so the NEXT frame
+    is exact again."""
+    v = _staleness_viewer()
+    v.overflow_policy = "async"
+    v.render()
+    v._segments = [(0.75, 0), (0.25, 1)]
+    v._pending_ov = None
+    v.render()                        # transient frame (may truncate)
+    assert v._pending_ov is not None
+    img = v.render()                  # deferred check fired: exact now
+    assert v._ray_order is not None
+    assert max(md for _, md in v._segments) >= 2
+    np.testing.assert_allclose(img, _exact(v), atol=2e-5)
+    # steady state: flags clean, budgets keep their tuned values
+    segs_before = list(v._segments)
+    v.render()
+    assert v._segments == segs_before
+
+
 def test_viewer_guided_segmented_collect():
     """use_guided_segments (default on): the second invalidation (hints
     exist) routes hint-cheap ray classes through reduced-budget collect
