@@ -68,6 +68,22 @@ def main():
     invalidation_ms = (time.perf_counter() - t0) * 1000.0
     n_samples = int(np.asarray(cache["num_samples"]).sum())
 
+    # CDF-budget segmented collect (what the Viewer runs once hints
+    # exist): reduced record buffers for hint-cheap ray classes; the
+    # stale-hint flags ride the total-count fetch (no extra sync)
+    segs = guided.segments_from_ns_hints(ns_h, S)
+    cache_s = guided.collect_and_query_fast(
+        tree, lm, model, cam, opt, chunk_size=1920,
+        skip_table=skip_table, order=order, segments=segs)
+    float(cache_s["results_c"].sum())   # warm (escalation settles here)
+    t0 = time.perf_counter()
+    cache_s = guided.collect_and_query_fast(
+        tree, lm, model, cam, opt, chunk_size=1920,
+        skip_table=skip_table, order=order, segments=segs)
+    float(cache_s["results_c"].sum())
+    invalidation_seg_ms = (time.perf_counter() - t0) * 1000.0
+    assert int(np.asarray(cache_s["num_samples"]).sum()) == n_samples
+
     def comp(use_pallas):
         img = guided.composite_frame(tree, cam, opt, cache,
                                      use_pallas=use_pallas)
@@ -85,6 +101,7 @@ def main():
     print(json.dumps({
         "metric": "guided_sampling_1080p",
         "invalidation_ms": round(invalidation_ms, 1),
+        "invalidation_segmented_ms": round(invalidation_seg_ms, 1),
         "mlp_samples": n_samples,
         **results,
         "max_guided_samples": S,

@@ -47,12 +47,19 @@ def main():
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     width, height = 1920, 1080
 
+    policy = sys.argv[4] if len(sys.argv) > 4 else "async"
     tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
     cam = Camera(width, height, 1111.0)
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
     v = Viewer(tree, camera=cam, options=RenderOptions())
     v.fast_chunk_size = 2176
+    # "async" is the interactive-motion mode: no per-frame overflow
+    # stall; a staleness event shows one transient frame (see
+    # Viewer.overflow_policy).  Pass 'sync' as argv[4] to measure the
+    # always-exact policy (pays a host round trip per frame — ~27 ms
+    # of device-idle bubble through the dev tunnel, ~1 ms production).
+    v.overflow_policy = policy
 
     def orbit_step():
         v.camera.begin_drag(0.0, 0.0, False, True)
@@ -98,6 +105,7 @@ def main():
         "unit": "fps",
         "poses": n_poses,
         "deg_per_pose": deg,
+        "policy": policy,
         "hint_rebuilds": rebuilds[0],
         "rays_per_sec": round(fps * width * height, 0),
     }))

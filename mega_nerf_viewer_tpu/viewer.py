@@ -219,9 +219,15 @@ class Viewer:
             return img
 
         camera_changed = cam.has_changed()
-        track_visit = ((camera_changed and int(self.tree.capacity)
-                        > self.max_tree_capacity * 3 // 4)
-                       or self._prune_happened)
+        # visit marks exist ONLY to feed capacity-pressure pruning,
+        # which is gated on a refinable session (model present) below —
+        # so a model-less viewer must never pay the visit-tracked exact
+        # march for them (regression: a full-capacity static tree
+        # orbited at 71 s/frame because every camera move re-tracked)
+        track_visit = (self.model is not None
+                       and ((camera_changed and int(self.tree.capacity)
+                             > self.max_tree_capacity * 3 // 4)
+                            or self._prune_happened))
         if camera_changed:
             self._can_reuse_results = False
 

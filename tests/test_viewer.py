@@ -247,6 +247,29 @@ def test_viewer_async_policy_recovers_next_frame():
     assert v._segments == segs_before
 
 
+def test_modelless_viewer_never_visit_tracks(monkeypatch):
+    """A viewer with no model must stay on the fast path when the
+    camera moves, even at full capacity — visit marks only feed the
+    prune path, which needs a model (regression: the motion benchmark
+    orbit fell to the exact march at ~50x the frame cost)."""
+    import mega_nerf_viewer_tpu.viewer as viewer_mod
+    tree = sphere_tree(basis_dim=1, depth=3)   # max_capacity == capacity
+    cam = Camera(12, 12, 16.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    v = Viewer(tree, camera=cam)
+    calls = []
+    orig = viewer_mod.render_frame
+
+    def spy(*a, **k):
+        calls.append(k.get("track_visit", False))
+        return orig(*a, **k)
+    monkeypatch.setattr(viewer_mod, "render_frame", spy)
+    v.render()
+    v.camera.move(np.array([0.05, 0.0, 0.0]))
+    v.render()
+    assert calls == []          # fast path throughout, no exact frames
+
+
 def test_viewer_guided_segmented_collect():
     """use_guided_segments (default on): the second invalidation (hints
     exist) routes hint-cheap ray classes through reduced-budget collect
