@@ -23,11 +23,19 @@ def main():
     from mega_nerf_viewer_tpu.n3tree import shell_tree
     from mega_nerf_viewer_tpu.ops import accel
 
-    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     width, height = 1920, 1080
 
     t0 = time.time()
-    tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
+    if len(sys.argv) > 1 and sys.argv[1].endswith(".npz"):
+        # real-artifact mode: benchmark any svox-schema PlenOctree file
+        # (e.g. the Mill-19-scale aerial fixture,
+        # tests/fixtures/.cache/aerial_sh4_d9.npz)
+        from mega_nerf_viewer_tpu.n3tree import N3Tree
+        tree = N3Tree.open(sys.argv[1])
+        depth = accel.tree_max_depth(tree)
+    else:
+        depth = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
     build_s = time.time() - t0
     leaf_map = accel.build_leaf_map(tree)
 

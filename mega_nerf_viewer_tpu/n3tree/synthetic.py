@@ -205,6 +205,103 @@ def shell_tree(depth: int = 7, basis_dim: int = 9,
         max_capacity=max_capacity)
 
 
+def field_tree_arrays(occ_fn: Callable[[np.ndarray], np.ndarray],
+                      rgb_fn: Callable[[np.ndarray], np.ndarray],
+                      depth: int = 8, basis_dim: int = 4,
+                      sigma: float = 120.0, N: int = 2,
+                      max_chunks: int = 8_000_000):
+    """Vectorized level-wise builder for arbitrary occupancy fields
+    (the scalable generalization of :func:`shell_tree`'s fixed shell).
+
+    ``occ_fn``: [..., 3] tree-coord points -> bool occupancy (vectorized
+    numpy).  ``rgb_fn``: [..., 3] points -> [..., 3] float64 colors in
+    (0, 1).  A voxel subdivides while its 8 corners' occupancy is mixed
+    (the same boundary-tracking rule the recursive
+    :func:`build_host_tree` fixtures use) — so a height-field or
+    CSG scene grows a realistic surface-following octree with 4^depth
+    leaf scaling.  Occupied leaves get a logit-space DC so the
+    sigmoid-shaded color lands on ``rgb_fn`` plus a small deterministic
+    directional component, and ``sigma`` density; empty leaves are
+    zero.  Returns host arrays (data, child, parent, scale, offset,
+    fmt) like :func:`build_host_tree`, plus a per-chunk depth column
+    (svox's ``parent_depth[:, 1]``).
+    """
+    N3 = N ** 3
+    data_dim = 3 * basis_dim + 1
+    slot = np.arange(N3)
+    slot_off = np.stack([slot // (N * N), (slot // N) % N, slot % N],
+                        axis=-1).astype(np.float64)          # [N3, 3]
+    corner_off = np.stack(np.meshgrid(*([[-0.5, 0.5]] * 3),
+                                      indexing="ij"),
+                          axis=-1).reshape(8, 3)             # [8, 3]
+
+    parent_rows = [np.zeros(1, np.int32)]
+    corner_rows = [np.zeros((1, 3), np.float64)]
+    links = []
+    frontier = np.array([0], np.int64)
+    frontier_corner = np.zeros((1, 3), np.float64)
+    n_chunks = 1
+
+    for d in range(1, depth):
+        size = float(N) ** (-d)
+        centers = (frontier_corner[:, None, :]
+                   + (slot_off[None, :, :] + 0.5) * size)    # [F, N3, 3]
+        pts = (centers[:, :, None, :]
+               + corner_off[None, None, :, :] * size)        # [F, N3, 8, 3]
+        occ8 = occ_fn(np.clip(pts, 0.0, 1.0).reshape(-1, 3)) \
+            .reshape(centers.shape[0], N3, 8)
+        split = occ8.any(-1) & ~occ8.all(-1)
+        f_idx, s_idx = np.nonzero(split)
+        n_new = len(f_idx)
+        if n_new == 0:
+            break
+        if n_chunks + n_new > max_chunks:
+            keep = max_chunks - n_chunks
+            f_idx, s_idx = f_idx[:keep], s_idx[:keep]
+            n_new = keep
+        new_ids = n_chunks + np.arange(n_new)
+        parents = frontier[f_idx]
+        parent_rows.append((parents * N3 + s_idx).astype(np.int32))
+        new_corners = frontier_corner[f_idx] + slot_off[s_idx] * size
+        corner_rows.append(new_corners)
+        links.append((parents, s_idx, (new_ids - parents).astype(np.int32)))
+        n_chunks += n_new
+        frontier = new_ids
+        frontier_corner = new_corners
+        if n_chunks >= max_chunks:
+            break
+
+    child = np.zeros((n_chunks, N3), np.int32)
+    parent = np.concatenate(parent_rows, axis=0)
+    corners = np.concatenate(corner_rows, axis=0)
+    for parents, s_idx, offsets in links:
+        child[parents, s_idx] = offsets
+    depths = np.zeros(n_chunks, np.int32)
+    start = 1
+    for lvl, (parents, _, _) in enumerate(links, start=1):
+        depths[start:start + len(parents)] = lvl
+        start += len(parents)
+
+    sizes = (float(N) ** -(depths + 1))[:, None]
+    centers = corners[:, None, :] \
+        + (slot_off[None, :, :] + 0.5) * sizes[:, :, None]   # [C, N3, 3]
+    flat = centers.reshape(-1, 3)
+    occ = occ_fn(flat).reshape(n_chunks, N3)
+    rgb = np.clip(rgb_fn(flat).reshape(n_chunks, N3, 3), 1e-3, 1 - 1e-3)
+    data = np.zeros((n_chunks, N3, data_dim), np.float16)
+    c0 = 0.28209479177387814
+    dc = np.log(rgb / (1.0 - rgb)) / c0                      # [C, N3, 3]
+    for c in range(3):
+        data[..., c * basis_dim] = (dc[..., c] * occ).astype(np.float16)
+        if basis_dim > 1:
+            data[..., c * basis_dim + 1] = (0.25 * np.sin(
+                centers.sum(-1) * 37.0 + c) * occ).astype(np.float16)
+    data[..., -1] = np.where(occ, sigma, 0.0).astype(np.float16)
+    fmt = DataFormat(format="SH", basis_dim=basis_dim)
+    return (data, child, parent, np.full(3, 0.5, np.float32),
+            np.full(3, 0.5, np.float32), fmt, depths)
+
+
 def random_tree(n_chunks: int = 64, basis_dim: int = 4,
                 max_capacity: Optional[int] = None,
                 seed: int = 0, density: float = 3.0, N: int = 2) -> N3Tree:

@@ -96,10 +96,32 @@ def scene_sdf_color(vc):
     return False, None
 
 
-def build_scene_tree(depth=6, basis_dim=4):
+def terrain_height(x, z):
+    """Deterministic multi-octave height field (Mill-19-style aerial
+    terrain occupancy: a large rolling surface that forces 2^d-scale
+    leaf populations along it)."""
+    return (0.14
+            + 0.06 * np.sin(6.1 * x + 1.0) * np.cos(5.3 * z)
+            + 0.03 * np.sin(13.7 * x + 0.4) * np.sin(11.9 * z + 2.0)
+            + 0.015 * np.sin(29.0 * x + 31.0 * z))
+
+
+def big_scene_sdf_color(vc):
+    """Terrain + the digger parts: realistic aerial-scene occupancy
+    (one dominant surface + structures) for the large fixture."""
+    x, y, z = vc
+    h = terrain_height(x, z)
+    if y < h:
+        g = 0.35 + 0.3 * (h - y) / max(h, 1e-3)
+        return True, np.asarray((0.35, g, 0.25), np.float64)
+    return scene_sdf_color(vc)
+
+
+def build_scene_tree(depth=6, basis_dim=4, sdf=None, max_chunks=200000,
+                     sigma=120.0):
     from mega_nerf_viewer_tpu.n3tree.synthetic import build_host_tree
 
-    rng = np.random.RandomState(7)
+    sdf = sdf or scene_sdf_color
     data_dim = 3 * basis_dim + 1
 
     def depth_map(vc, d):
@@ -112,12 +134,12 @@ def build_scene_tree(depth=6, basis_dim=4):
             for dy in (-0.5, 0.5):
                 for dz in (-0.5, 0.5):
                     p = vc + np.array([dx, dy, dz]) * size
-                    occs.append(scene_sdf_color(np.clip(p, 0, 1))[0])
+                    occs.append(sdf(np.clip(p, 0, 1))[0])
         return any(occs) and not all(occs)
 
     def data_fn(vc, size):
         out = np.zeros(data_dim, np.float64)
-        occ, rgb = scene_sdf_color(vc)
+        occ, rgb = sdf(vc)
         if occ:
             # logit-space DC so sigmoid(SH_C0 * c0) lands on rgb, plus a
             # small deterministic directional component
@@ -126,11 +148,11 @@ def build_scene_tree(depth=6, basis_dim=4):
             if basis_dim > 1:
                 out[1::basis_dim][:3] = 0.25 * np.sin(
                     vc.sum() * 37.0 + np.arange(3))
-            out[-1] = 120.0
+            out[-1] = sigma
         return out
 
     return build_host_tree(depth_map, data_fn, data_dim, basis_dim,
-                           max_chunks=200000)
+                           max_chunks=max_chunks)
 
 
 def make_scene_npz():
@@ -151,6 +173,69 @@ def make_scene_npz():
                    data_format=fmt.to_string())
     print("wrote", path, f"({cap} chunks, {os.path.getsize(path)} bytes)")
     return path
+
+
+def big_occ_v(p):
+    """Vectorized occupancy of the big aerial scene ([..., 3] -> bool)."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    occ = y < terrain_height(x, z)
+    occ |= (0.05 < y) & (y < 0.18) & (0.1 < x) & (x < 0.9) \
+        & (0.1 < z) & (z < 0.9)
+    occ |= (0.3 < x) & (x < 0.62) & (0.18 < y) & (y < 0.42) \
+        & (0.3 < z) & (z < 0.7)
+    occ |= (0.36 < x) & (x < 0.56) & (0.42 < y) & (y < 0.6) \
+        & (0.38 < z) & (z < 0.62)
+    occ |= (0.62 < x) & (x < 0.8) & (0.18 < y) \
+        & (y < 0.18 + (0.8 - x)) & (0.34 < z) & (z < 0.66)
+    occ |= ((p - np.array([0.34, 0.66, 0.5])) ** 2).sum(-1) < 0.06 ** 2
+    return occ
+
+
+def big_rgb_v(p):
+    """Vectorized color field matching big_occ_v's part priorities."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    h = terrain_height(x, z)
+    g = 0.35 + 0.3 * (h - y) / np.maximum(h, 1e-3)
+    rgb = np.stack([np.full_like(x, 0.35), np.clip(g, 0.05, 0.95),
+                    np.full_like(x, 0.25)], axis=-1)
+
+    def put(mask, color):
+        rgb[mask] = color
+    put(~(y < h) & (0.05 < y) & (y < 0.18) & (0.1 < x) & (x < 0.9)
+        & (0.1 < z) & (z < 0.9), (0.55, 0.45, 0.3))
+    put((0.3 < x) & (x < 0.62) & (0.18 < y) & (y < 0.42)
+        & (0.3 < z) & (z < 0.7) & ~(y < h), (0.85, 0.7, 0.1))
+    put((0.36 < x) & (x < 0.56) & (0.42 < y) & (y < 0.6)
+        & (0.38 < z) & (z < 0.62) & ~(y < h), (0.2, 0.3, 0.8))
+    put((0.62 < x) & (x < 0.8) & (0.18 < y) & (y < 0.18 + (0.8 - x))
+        & (0.34 < z) & (z < 0.66) & ~(y < h), (0.7, 0.15, 0.1))
+    put((((p - np.array([0.34, 0.66, 0.5])) ** 2).sum(-1) < 0.06 ** 2)
+        & ~(y < h), (0.15, 0.15, 0.18))
+    return rgb
+
+
+BIG_CACHE = os.path.join(HERE, ".cache", "aerial_sh4_d9.npz")
+
+
+def make_big_scene_npz(path=BIG_CACHE, depth=9, basis_dim=4):
+    """Mill-19-scale svox artifact (VERDICT r2 item 7): >= 100k chunks
+    of realistic aerial occupancy (terrain surface + structures), built
+    with the vectorized field builder and written through the
+    INDEPENDENT svox writer.  Deterministic; cached on disk (too large
+    to commit) — tests regenerate it when absent."""
+    from mega_nerf_viewer_tpu.n3tree.synthetic import field_tree_arrays
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data, child, parent, scale, offset, fmt, depths = field_tree_arrays(
+        big_occ_v, big_rgb_v, depth=depth, basis_dim=basis_dim,
+        sigma=120.0)
+    cap = data.shape[0]
+    parent_depth = np.stack([parent, depths], axis=1)
+    write_svox_npz(path, data, child.reshape(cap, 2, 2, 2), parent_depth,
+                   invradius=float(scale[0]), offset=offset,
+                   data_format=fmt.to_string())
+    print("wrote", path,
+          f"({cap} chunks, {os.path.getsize(path)} bytes)")
+    return path, cap
 
 
 def make_vq_npz():
@@ -262,8 +347,44 @@ def make_goldens():
     assert alpha > 0.99, "golden view misses the scene"
 
 
+def aerial_camera():
+    from mega_nerf_viewer_tpu import Camera
+    cam = Camera(160, 160, 150.0)
+    cam.center = np.array([-0.9, 1.1, 1.5], np.float32)
+    cam.v_back = cam.center / np.linalg.norm(cam.center)
+    cam._update()
+    return cam
+
+
+def make_big_golden():
+    """Golden for the Mill-19-scale aerial fixture: pinned 160x160
+    EXACT render (the npz itself is cached, not committed — the golden
+    PNG is what crosses rounds)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu import RenderOptions
+    from mega_nerf_viewer_tpu.n3tree import N3Tree
+    from mega_nerf_viewer_tpu.ops.render import render_frame, to_rgba8
+    from mega_nerf_viewer_tpu.utils.png import write_png
+
+    if not os.path.exists(BIG_CACHE):
+        make_big_scene_npz()
+    tree = N3Tree.open(BIG_CACHE)
+    cam = aerial_camera()
+    opt = RenderOptions(background_brightness=0.9)
+    img, _ = render_frame(tree, cam.width, cam.height, cam.fx, cam.fy,
+                          cam.cx, cam.cy, jnp.asarray(cam.transform), opt)
+    path = os.path.join(HERE, "aerial_sh4_d9_golden.png")
+    write_png(path, np.asarray(to_rgba8(img)))
+    alpha = float(np.asarray(img)[..., 3].max())
+    print("wrote", path, "alpha_max=%.3f" % alpha)
+    assert alpha > 0.99, "golden view misses the scene"
+
+
 if __name__ == "__main__":
     make_scene_npz()
     make_vq_npz()
     make_torchscript_container()
     make_goldens()
+    make_big_golden()
