@@ -812,6 +812,35 @@ def _argsort_small_keys(keys: np.ndarray) -> tuple:
             jnp.asarray(np.argsort(perm_np, kind="stable"), jnp.int32))
 
 
+@jax.jit
+def order_from_hints_device(steps, nrec, skips=None) -> tuple:
+    """Device-resident (perm, inv) from per-frame hints — the motion
+    path's order rebuild.
+
+    The host path (:func:`order_from_hints`) fetches three [R] hint
+    arrays, argsorts on host, and uploads two [R] index arrays — ~3 ms
+    on a production link but 0.6-1.3 s through the axon dev tunnel
+    (measured), which made per-pose order refresh unaffordable and
+    left motion frames marching on stale orders (chunk-max waste) with
+    permanently escalated budgets.  Packing the same 3-part key and
+    sorting ON DEVICE (argsort [2M] ~34 ms, scatter-inverse ~40 ms on
+    v5e) keeps the whole refresh off the host: fresh order every pose,
+    zero transfers.  Same stable sort, same key packing -> identical
+    permutation to the host path (tested)."""
+    steps = jnp.asarray(steps, jnp.int32)
+    nrec = jnp.asarray(nrec, jnp.int32)
+    if skips is None:
+        skips = jnp.zeros_like(steps)
+    key = (jnp.minimum(nrec, 15) << 18) \
+        | (jnp.minimum(steps, 511) << 9) \
+        | jnp.minimum(jnp.asarray(skips, jnp.int32), 511)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32),
+        unique_indices=True)
+    return perm, inv
+
+
 def order_from_steps(steps) -> tuple:
     """Build a (perm, inv) ray ordering from per-ray march costs (the
     ``steps`` output of a previous frame).  Compute once per camera
@@ -1009,7 +1038,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
                                 dynamic_knobs: bool = False,
                                 skip_table: Optional[jax.Array] = None,
                                 group: int = 1,
-                                device_fallback: bool = False):
+                                device_fallback: bool = False,
+                                return_hints: bool = False):
     """Record-sorted segmented fast frame.
 
     ``order`` must come from :func:`order_from_hints` (rays sorted by
@@ -1031,9 +1061,18 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     check, eliminating the per-frame host round trip under camera
     motion.
 
+    ``return_hints`` appends (steps, nrec, skips) in PIXEL order — the
+    hints the march computes anyway, so steady/motion frames can feed
+    the next order refresh (``order_from_hints_device``) without a
+    dedicated hint frame.  Note nrec is capped at each ray's segment
+    budget (a heavy ray in a small-budget class reports the cap and
+    raises that segment's overflow; the next refresh then re-classes
+    it — self-healing with one-frame lag).
+
     Returns (img [H, W, 4], seg_overflow bool [n_segments],
-    [split_vote, sample_vote] when need_votes[, fb_overflow when
-    device_fallback]) — votes in pixel order.
+    [split_vote, sample_vote] when need_votes][, fb_overflow when
+    device_fallback][, steps, nrec, skips when return_hints]) — votes
+    and hints in pixel order.
     """
     w, h = camera.width, camera.height
     R = w * h
@@ -1050,12 +1089,15 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
             else max(md for _, md in segments),
             chunk_size=chunk_size, order=order, unroll=unroll,
             need_votes=need_votes, dynamic_knobs=dynamic_knobs,
-            skip_table=skip_table)
+            skip_table=skip_table,
+            return_nrec=return_hints, return_skips=return_hints)
         img, overflow = res[0], res[1]
         ov = jnp.broadcast_to(overflow, (len(segments),))
         out = ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
         if device_fallback:
             out = out + (overflow,)
+        if return_hints:
+            out = out + (res[2], res[-2], res[-1])
         return out
 
     transform, intr, rot_dirs, bg_value, dyn, opt = _frame_core_args(
@@ -1065,11 +1107,14 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
         dyn, skip_table, opt=opt, width=w,
         seg_counts=segment_chunks(n_chunks, segments),
         chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
-        return_hints=False, group=group, device_fallback=device_fallback)
+        return_hints=return_hints, group=group,
+        device_fallback=device_fallback)
     img = res["img"].reshape(h, w, 4)
     out = (img, res["seg_overflow"])
     if need_votes:
         out = out + (res["split_vote"], res["sample_vote"])
     if device_fallback:
         out = out + (res["fb_overflow"],)
+    if return_hints:
+        out = out + (res["steps"], res["nrec"], res["skips"])
     return out

@@ -89,6 +89,18 @@ class Viewer:
         #    and sync-freedom matter more than throughput.
         self.overflow_policy = "sync"
         self._pending_ov = None
+        # Device-resident order refresh under camera motion: segmented
+        # frames return their (steps, nrec, skips) hints as device
+        # arrays, and a camera move triggers a fully on-device rebuild
+        # of the ray order (argsort + scatter-inverse, ~75 ms at 1080p
+        # on v5e) instead of the host path's fetch+argsort+upload
+        # (~3 ms production, 0.6-1.3 s through the dev tunnel).  Fresh
+        # order every moved frame keeps the budget classes valid, so
+        # escalation (and its recompiles) stays rare under motion.
+        self.use_device_order = True
+        self._last_hints = None
+        self._order_stale = False
+        self._clean_streak = 0
         # CDF-budget segmented guided collect (guided.py collect_t_fast
         # segments): once hints exist, hint-cheap ray classes march
         # with reduced record buffers (the ~half that record nothing
@@ -219,6 +231,8 @@ class Viewer:
             return img
 
         camera_changed = cam.has_changed()
+        if camera_changed:
+            self._order_stale = True
         # visit marks exist ONLY to feed capacity-pressure pruning,
         # which is gated on a refinable session (model present) below —
         # so a model-less viewer must never pay the visit-tracked exact
@@ -336,53 +350,75 @@ class Viewer:
         R = self.camera.width * self.camera.height
         if order is not None and order[0].shape[0] != R:
             order = None
+        hints = getattr(self, "_last_hints", None)
+        if hints is not None and hints[0].shape[0] != R:
+            hints = self._last_hints = None
+        if (self.use_device_order and self._order_stale
+                and order is not None and hints is not None):
+            # camera moved: rebuild the order from the LAST frame's
+            # hints entirely on device (no host traffic, async) so
+            # this frame marches on a fresh sort
+            order = self._ray_order = accel.order_from_hints_device(
+                *hints)
+            self._order_stale = False
+        want_hints = self.use_device_order
         if order is not None:
             segments = getattr(self, "_segments", None) \
                 or list(accel.DEFAULT_SEGMENTS)
+            def run_segmented(device_fallback):
+                return accel.render_frame_fast_segmented(
+                    self.tree, self._leaf_map, self.camera, self.options,
+                    order=order, segments=tuple(segments),
+                    chunk_size=self.fast_chunk_size,
+                    need_votes=need_votes,
+                    dynamic_knobs=self.use_dynamic_knobs,
+                    skip_table=skip_table,
+                    device_fallback=device_fallback,
+                    return_hints=want_hints)
+
+            def unpack(out, has_fb):
+                # (img, seg_ov, [sv, pv], [fb], [steps, nrec, skips])
+                i = 2
+                votes = None
+                if need_votes:
+                    votes = (out[2], out[3])
+                    i = 4
+                fb = None
+                if has_fb:
+                    fb = out[i]
+                    i += 1
+                if want_hints:
+                    self._last_hints = tuple(out[i:i + 3])
+                return votes, fb
+
             if self.overflow_policy == "device":
                 # escalation folded into the compiled frame (see
                 # _frame_core device_fallback): the frame is correct
                 # even under stale budgets; flags are checked one
                 # frame later at the top of this method purely to
                 # retune budgets/hints
-                out = accel.render_frame_fast_segmented(
-                    self.tree, self._leaf_map, self.camera, self.options,
-                    order=order, segments=tuple(segments),
-                    chunk_size=self.fast_chunk_size,
-                    need_votes=need_votes,
-                    dynamic_knobs=self.use_dynamic_knobs,
-                    skip_table=skip_table, device_fallback=True)
-                self._pending_ov = (list(segments), out[1], out[-1])
+                out = run_segmented(True)
+                votes, fb = unpack(out, True)
+                self._pending_ov = (list(segments), out[1], fb)
                 overflow = False
                 img = out[0]
                 if need_votes:
-                    split_vote, sample_vote = out[2], out[3]
+                    split_vote, sample_vote = votes
             elif self.overflow_policy == "async":
                 # optimistic: return without checking; a staleness
                 # event shows one transient truncated frame while the
                 # deferred check (top of this method, next frame)
                 # escalates budgets and refreshes hints
-                out = accel.render_frame_fast_segmented(
-                    self.tree, self._leaf_map, self.camera, self.options,
-                    order=order, segments=tuple(segments),
-                    chunk_size=self.fast_chunk_size,
-                    need_votes=need_votes,
-                    dynamic_knobs=self.use_dynamic_knobs,
-                    skip_table=skip_table)
+                out = run_segmented(False)
+                votes, _ = unpack(out, False)
                 self._pending_ov = (list(segments), out[1],
                                     jnp.asarray(False))
                 overflow = False
                 img = out[0]
                 if need_votes:
-                    _, _, split_vote, sample_vote = out
+                    split_vote, sample_vote = votes
             else:
-                out = accel.render_frame_fast_segmented(
-                    self.tree, self._leaf_map, self.camera, self.options,
-                    order=order, segments=tuple(segments),
-                    chunk_size=self.fast_chunk_size,
-                    need_votes=need_votes,
-                    dynamic_knobs=self.use_dynamic_knobs,
-                    skip_table=skip_table)
+                out = run_segmented(False)
                 ov = np.asarray(out[1])
                 if ov.any():
                     # segment budgets went stale (camera/tree moved the
@@ -396,11 +432,12 @@ class Viewer:
                         for i, (f, md) in enumerate(segments)]
                     order = None
                 else:
+                    votes, _ = unpack(out, False)
                     self._segments = segments
                     overflow = False
                     img = out[0]
                     if need_votes:
-                        _, _, split_vote, sample_vote = out
+                        split_vote, sample_vote = votes
         if order is None:
             # no ordering hints yet (first frame at this resolution):
             # single-segment frame that also returns the hints
@@ -423,7 +460,14 @@ class Viewer:
                 img, _, steps, split_vote, sample_vote, nrec, skips = out
             else:
                 img, _, steps, nrec, skips = out
-            self._ray_order = accel.order_from_hints(steps, nrec, skips)
+            if self.use_device_order:
+                self._ray_order = accel.order_from_hints_device(
+                    steps, nrec, skips)
+                self._last_hints = (steps, nrec, skips)
+            else:
+                self._ray_order = accel.order_from_hints(
+                    steps, nrec, skips)
+            self._order_stale = False
         if overflow:
             img, res = render_frame(
                 self.tree, self.camera.width, self.camera.height,
@@ -444,6 +488,7 @@ class Viewer:
         does not stall the pipeline) and retune budgets/hints for
         future frames.  The frame they belong to was already corrected
         on device by the fallback branch."""
+        from .ops.accel import DEFAULT_SEGMENTS
         pending = self._pending_ov
         if pending is None:
             return
@@ -451,14 +496,34 @@ class Viewer:
         segments, seg_ov, fb_ov = pending
         ov = np.asarray(seg_ov)
         if not ov.any():
+            # de-escalate after a clean streak: motion thrash can walk
+            # budgets far above the steady-state classes and they would
+            # otherwise never come back down (the 420 ms/frame plateau
+            # the round-3 motion diagnosis measured).  The ladder steps
+            # through previously-compiled tuples only.
+            self._clean_streak += 1
+            if self._clean_streak >= 8 and getattr(self, "_segments",
+                                                   None):
+                self._clean_streak = 0
+                floor = [md for _, md in DEFAULT_SEGMENTS]
+                self._segments = [
+                    (f, max(md // 2,
+                            floor[min(i, len(floor) - 1)]))
+                    for i, (f, md) in enumerate(self._segments)]
             return
+        self._clean_streak = 0
         self._segments = [
             (f, min(max(1, md * 2), 128) if ov[min(i, len(ov) - 1)]
              else md) for i, (f, md) in enumerate(segments)]
-        # refresh ordering hints next frame; if even the 128 cap
-        # overflowed (fb_ov), the escalation ladder below will walk
-        # the unsegmented path to the exact renderer
+        # drop the order: the overflowed frame's hints are CAPPED at
+        # the starved budgets (a heavy ray in the zero class reports
+        # nrec 0), so a device rebuild from them would re-class wrongly
+        # and converge over multiple frames — the full re-hint frame
+        # (md-escalating, uncapped) restores exactness next frame.  If
+        # even the 128 cap overflowed (fb_ov), that ladder walks to the
+        # exact renderer.
         self._ray_order = None
+        self._last_hints = None
 
     def _render_with_grid(self, track_visit: bool):
         """Frame with the octree wireframe overlay: the rasterized line

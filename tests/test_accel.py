@@ -493,6 +493,59 @@ def test_zero_record_segment():
     assert bool(np.asarray(seg_ov2)[0])
 
 
+def test_device_order_matches_host():
+    """order_from_hints_device == order_from_hints (same key packing,
+    same stable sort) so the motion path's on-device rebuild is a pure
+    transport optimization."""
+    rng = np.random.default_rng(3)
+    steps = rng.integers(0, 600, 5000).astype(np.int32)
+    nrec = rng.integers(0, 20, 5000).astype(np.int32)
+    skips = rng.integers(0, 600, 5000).astype(np.int32)
+    ph, ih = accel.order_from_hints(steps, nrec, skips)
+    pd, id_ = accel.order_from_hints_device(
+        jnp.asarray(steps), jnp.asarray(nrec), jnp.asarray(skips))
+    np.testing.assert_array_equal(np.asarray(pd), np.asarray(ph))
+    np.testing.assert_array_equal(np.asarray(id_), np.asarray(ih))
+    # 2-key variant (no skips)
+    ph2, ih2 = accel.order_from_hints(steps, np.minimum(nrec, 255))
+    # host 2-key packs (nrec<<12)|steps with wider caps — compare the
+    # permutations' sort keys instead of exact ranks when caps differ:
+    # here both under the caps, so the device 3-key with zero skips
+    # must equal the host 3-key with zero skips
+    ph3, ih3 = accel.order_from_hints(steps, nrec,
+                                      np.zeros_like(steps))
+    pd3, id3 = accel.order_from_hints_device(jnp.asarray(steps),
+                                             jnp.asarray(nrec))
+    np.testing.assert_array_equal(np.asarray(pd3), np.asarray(ph3))
+    np.testing.assert_array_equal(np.asarray(id3), np.asarray(ih3))
+
+
+def test_segmented_return_hints():
+    """return_hints on the segmented frame returns the same pixel-order
+    hints an unsegmented hint frame would (modulo per-segment nrec
+    caps, which this fixture stays under)."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    img0, ov0, steps, nrec, skips = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True, return_skips=True)
+    order = accel.order_from_hints(steps, nrec, skips)
+    img1, sov, s1, n1, k1 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order,
+        segments=((0.5, 2), (0.25, 4), (0.25, 16)), chunk_size=cs,
+        return_hints=True)
+    assert not np.asarray(sov).any()
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(steps))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(nrec))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(skips))
+
+
 def test_device_fallback_escalation():
     """device_fallback folds budget escalation into the compiled frame
     (XLA conditional): fresh budgets -> bit-identical to the plain
