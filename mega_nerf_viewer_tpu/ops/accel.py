@@ -251,7 +251,11 @@ def build_turbo_leaf_map(tree: N3Tree, level: Optional[int] = None,
 
 class FastRenderResult(NamedTuple):
     out: jax.Array        # [R, 4] rgba pre-background
-    overflow: jax.Array   # [] bool: some ray exceeded max_dense samples
+    overflow: jax.Array   # [] i32: COUNT of rays that exceeded
+    #                       max_dense (0 = clean; callers that only
+    #                       need the flag use truthiness — the count
+    #                       lets motion policies tolerate a bounded
+    #                       silhouette-sweep band without escalating)
     steps: jax.Array      # [R] i32 march iterations per ray (perf feedback
                           # for step-sorted ray ordering on later frames)
     split_vote: jax.Array   # [R, 3] (need_votes=True) else zeros [0, 3]
@@ -571,7 +575,8 @@ def render_rays_fast(tree: N3Tree,
             alpha = jnp.where(stopped, 1.0,
                               jnp.where(miss_c, 0.0, 1.0 - T))
             out = jnp.concatenate([rgb, alpha[:, None]], axis=1)
-        return out, jnp.any(overflow), nsteps, split_vote, sample_vote, nd
+        return (out, jnp.sum(overflow, dtype=jnp.int32), nsteps,
+                split_vote, sample_vote, nd)
 
     all_args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
                 tmin, tmax, miss, basis_all)
@@ -588,7 +593,7 @@ def render_rays_fast(tree: N3Tree,
         split_vote = split_vote.reshape(R, 3)
         sample_vote = sample_vote.reshape(R, 3)
         nrec = nrec.reshape(R)
-        overflow = jnp.any(overflow)
+        overflow = jnp.sum(overflow, dtype=jnp.int32)
     else:
         out, overflow, nsteps, split_vote, sample_vote, nrec = march_chunk(
             all_args)
@@ -705,7 +710,7 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 jnp.concatenate(steps_l, 0) if return_hints else None,
                 jnp.concatenate(nrec_l, 0) if return_hints else None,
                 jnp.concatenate(skips_l, 0) if return_hints else None,
-                jnp.asarray(False))
+                jnp.int32(0))
 
         def _fb(_):
             res = render_rays_fast(
@@ -721,7 +726,7 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                         res.skips if return_hints else None,
                         res.overflow)
 
-        sel = jax.lax.cond(jnp.any(jnp.stack(ovs)), _fb, _seg, None)
+        sel = jax.lax.cond(jnp.stack(ovs).sum() > 0, _fb, _seg, None)
         i = 0
         out = sel[i][:R]
         i += 1
@@ -1069,7 +1074,7 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     raises that segment's overflow; the next refresh then re-classes
     it — self-healing with one-frame lag).
 
-    Returns (img [H, W, 4], seg_overflow bool [n_segments],
+    Returns (img [H, W, 4], seg_overflow i32 COUNTS [n_segments],
     [split_vote, sample_vote] when need_votes][, fb_overflow when
     device_fallback][, steps, nrec, skips when return_hints]) — votes
     and hints in pixel order.

@@ -173,7 +173,7 @@ def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
     to produce the driver-captured v5e-8 slice projection (the sharded
     program's only intra-frame collective is the scalar overflow pmax,
     so per-chip time ~= frame time; the cross-chip output unpermute is
-    accounted separately).  Returns (out [per, 4], seg_overflow bools).
+    accounted separately).  Returns (out [per, 4], seg_overflow counts).
     """
     from ..ops.accel import render_rays_fast
     from ..ops.rays import screen2worlddir_indices, rodrigues

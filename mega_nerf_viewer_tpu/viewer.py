@@ -101,6 +101,10 @@ class Viewer:
         self._last_hints = None
         self._order_stale = False
         self._clean_streak = 0
+        # async-policy escalation tolerance: fraction of frame rays
+        # allowed to exceed their class budget without escalating (the
+        # moving-silhouette band; see _check_pending_overflow)
+        self.motion_overflow_tolerance = 1.0 / 512.0
         # CDF-budget segmented guided collect (guided.py collect_t_fast
         # segments): once hints exist, hint-cheap ray classes march
         # with reduced record buffers (the ~half that record nothing
@@ -399,7 +403,7 @@ class Viewer:
                 # retune budgets/hints
                 out = run_segmented(True)
                 votes, fb = unpack(out, True)
-                self._pending_ov = (list(segments), out[1], fb)
+                self._pending_ov = (list(segments), out[1], fb, R)
                 overflow = False
                 img = out[0]
                 if need_votes:
@@ -412,7 +416,7 @@ class Viewer:
                 out = run_segmented(False)
                 votes, _ = unpack(out, False)
                 self._pending_ov = (list(segments), out[1],
-                                    jnp.asarray(False))
+                                    jnp.asarray(False), R)
                 overflow = False
                 img = out[0]
                 if need_votes:
@@ -493,8 +497,20 @@ class Viewer:
         if pending is None:
             return
         self._pending_ov = None
-        segments, seg_ov, fb_ov = pending
-        ov = np.asarray(seg_ov)
+        segments, seg_ov, fb_ov, R = pending
+        counts = np.asarray(seg_ov)
+        # In "async" mode a bounded truncation band is already the
+        # contract (silhouette-sweep rays change record class every
+        # moved frame; the next frame's fresh order re-classes them),
+        # so escalating budgets — 102 -> 264 ms/frame measured once
+        # walked up, plus a recompile per new ladder tuple — for a
+        # handful of band rays is a net loss.  Escalate only past the
+        # tolerance; "device"/"sync" stay strict (exactness is their
+        # point).
+        tol = 0
+        if self.overflow_policy == "async":
+            tol = int(R * self.motion_overflow_tolerance)
+        ov = counts > tol
         if not ov.any():
             # de-escalate after a clean streak: motion thrash can walk
             # budgets far above the steady-state classes and they would
