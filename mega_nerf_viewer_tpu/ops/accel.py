@@ -817,6 +817,87 @@ def _argsort_small_keys(keys: np.ndarray) -> tuple:
             jnp.asarray(np.argsort(perm_np, kind="stable"), jnp.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "window"))
+def dilate_hints(steps, nrec, skips, *, width: int, height: int,
+                 window: int):
+    """Motion-compensate per-ray hints by a 2-D max dilation.
+
+    A camera move of a degrees shifts silhouettes by ~fx*tan(a) pixels
+    (58 px per 3-degree orbit pose at 1080p), so hint-derived record
+    classes go stale exactly along the moving silhouette band — and a
+    band ray classed 'records nothing' yesterday that records today
+    either truncates (async policy) or escalates its whole segment
+    (264 vs 102 ms/frame once the ladder walks up, measured).  Max-
+    pooling the hints over the expected sweep window classes band rays
+    by their neighborhood's worst case PREEMPTIVELY: budgets stay at
+    the steady classes and overflow stays rare under motion.  Doubling
+    roll-max passes (~log2(window) x 2 axes elementwise sweeps, ~1 ms
+    at 1080p); rolls wrap at frame edges, which can only over-budget a
+    border row (never truncate).  Pure perf shaping — records/pixels
+    are unaffected by over-classing.
+    """
+    def pool(a):
+        img = a.reshape(height, width)
+        for axis in (0, 1):
+            k = 1
+            while k < window:
+                img = jnp.maximum(
+                    img, jnp.maximum(jnp.roll(img, k, axis),
+                                     jnp.roll(img, -k, axis)))
+                k *= 2
+        return img.reshape(-1)
+    return pool(steps), pool(nrec), pool(skips)
+
+
+@functools.partial(jax.jit, static_argnames=("classes",))
+def hint_class_cdf(nrec, classes: tuple = (0, 1, 2, 4, 8)):
+    """Device-side CDF of per-ray record hints over the budget-class
+    ladder: counts[i] = #rays with nrec <= classes[i].  A [len] i32
+    fetch is all a caller needs to derive CDF-matched segment
+    fractions (vs fetching the full [R] hint array)."""
+    nrec = jnp.asarray(nrec, jnp.int32)
+    return jnp.stack([jnp.sum((nrec <= c).astype(jnp.int32))
+                      for c in classes])
+
+
+def segments_from_hint_cdf(cdf_counts, R: int,
+                           classes: tuple = (0, 1, 2, 4, 8),
+                           quant: int = 16,
+                           headroom: bool = False) -> tuple:
+    """(fraction, max_dense) segments from a hint-class CDF.
+
+    Fractions are FLOORED to 1/``quant`` so every class boundary sits
+    at or below its CDF point: rays in a class then genuinely fit its
+    budget whenever the keys used for sorting upper-bound the true
+    record counts (exact hints on a parked camera).  Quantization
+    keeps the tuple a bounded jit-key family.  The last class takes
+    the remainder at the ladder top; rays beyond it escalate via the
+    overflow protocol.
+
+    ``headroom=True`` (motion): each non-zero class gets the NEXT
+    ladder budget.  Dilated hints bound silhouette sweeps (spatially
+    confined 0->k transitions) but not coherent VALUE transitions —
+    at the 1080p shell limb a whole grazing annulus goes from 1 to 2
+    records per 3-degree pose (measured ~11k rays), which no
+    neighborhood max of yesterday's 1s can predict.  One ladder step
+    absorbs those; two-step jumps stay under the async tolerance.
+    The zero class keeps budget 0: empty interiors are exactly what
+    dilation does bound."""
+    counts = np.asarray(cdf_counts)
+    segs = []
+    used = 0.0
+    for i, (c, cnt) in enumerate(zip(classes[:-1], counts[:-1])):
+        f = np.floor(cnt / R * quant) / quant
+        f = min(f, 1.0 - 1.0 / quant)
+        if f > used:
+            md = int(classes[i + 1]) if (headroom and c > 0) else int(c)
+            segs.append((f - used, md))
+            used = f
+    segs.append((1.0 - used, int(classes[-1])))
+    return tuple(segs)
+
+
 @jax.jit
 def order_from_hints_device(steps, nrec, skips=None) -> tuple:
     """Device-resident (perm, inv) from per-frame hints — the motion

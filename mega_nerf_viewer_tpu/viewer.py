@@ -360,10 +360,31 @@ class Viewer:
         if (self.use_device_order and self._order_stale
                 and order is not None and hints is not None):
             # camera moved: rebuild the order from the LAST frame's
-            # hints entirely on device (no host traffic, async) so
-            # this frame marches on a fresh sort
-            order = self._ray_order = accel.order_from_hints_device(
-                *hints)
+            # hints entirely on device (no host traffic for the sort).
+            # Hints are max-DILATED by the estimated silhouette sweep
+            # so band rays class by their neighborhood's worst case,
+            # and segment fractions follow the dilated CDF (derived
+            # once per motion episode from a [5]-scalar fetch) — the
+            # dilated key upper-bounds true records within the window,
+            # so the classes provably fit and budgets never walk up
+            # under steady motion.
+            w = self.camera.width
+            h = self.camera.height
+            window = self._estimate_dilation()
+            if window:
+                dh = accel.dilate_hints(*hints, width=w, height=h,
+                                        window=window)
+                order = self._ray_order = \
+                    accel.order_from_hints_device(*dh)
+                src = ("dil", window)
+                if getattr(self, "_segments_src", None) != src:
+                    cdf = accel.hint_class_cdf(dh[1])
+                    self._segments = list(accel.segments_from_hint_cdf(
+                        np.asarray(cdf), R, headroom=True))
+                    self._segments_src = src
+            else:
+                order = self._ray_order = accel.order_from_hints_device(
+                    *hints)
             self._order_stale = False
         want_hints = self.use_device_order
         if order is not None:
@@ -468,6 +489,16 @@ class Viewer:
                 self._ray_order = accel.order_from_hints_device(
                     steps, nrec, skips)
                 self._last_hints = (steps, nrec, skips)
+                # fresh exact hints: derive CDF-matched budgets for
+                # this scene/pose (floor-quantized; exact keys on a
+                # parked camera make the classes provably sufficient)
+                cdf = accel.hint_class_cdf(jnp.asarray(nrec))
+                self._segments = list(accel.segments_from_hint_cdf(
+                    np.asarray(cdf), self.camera.width
+                    * self.camera.height))
+                self._segments_src = ("steady",)
+                self._order_back = np.asarray(
+                    self.camera.transform, np.float32)[:, 2].copy()
             else:
                 self._ray_order = accel.order_from_hints(
                     steps, nrec, skips)
@@ -486,13 +517,32 @@ class Viewer:
             return img, res
         return img, None
 
+    def _estimate_dilation(self):
+        """Quantized hint-dilation window from the camera delta since
+        the hints' pose: pixel sweep ~ fx * tan(view-direction angle).
+        Returns 0 (no dilation) only when no previous pose is known;
+        tiny moves use the cheapest window."""
+        cam = self.camera
+        back = np.asarray(cam.transform, np.float32)[:, 2]
+        prev = getattr(self, "_order_back", None)
+        self._order_back = back.copy()
+        if prev is None:
+            return 0
+        c = float(np.clip(np.dot(prev, back)
+                          / (np.linalg.norm(prev) * np.linalg.norm(back)
+                             + 1e-12), -1.0, 1.0))
+        shift = cam.fx * np.tan(np.arccos(c))
+        for wdw in (16, 64, 128):
+            if shift <= wdw * 0.9:
+                return wdw
+        return 128
+
     def _check_pending_overflow(self):
         """Asynchronous escalation: inspect the PREVIOUS segmented
         frame's overflow flags (device-computed long ago — this fetch
         does not stall the pipeline) and retune budgets/hints for
         future frames.  The frame they belong to was already corrected
         on device by the fallback branch."""
-        from .ops.accel import DEFAULT_SEGMENTS
         pending = self._pending_ov
         if pending is None:
             return
@@ -512,25 +562,31 @@ class Viewer:
             tol = int(R * self.motion_overflow_tolerance)
         ov = counts > tol
         if not ov.any():
-            # de-escalate after a clean streak: motion thrash can walk
-            # budgets far above the steady-state classes and they would
-            # otherwise never come back down (the 420 ms/frame plateau
-            # the round-3 motion diagnosis measured).  The ladder steps
-            # through previously-compiled tuples only.
+            # After a clean streak on a PARKED camera, re-derive the
+            # budgets from the latest exact hints: motion episodes run
+            # on dilated (conservative) classes, and escalations can
+            # leave budgets above the steady need — both come back
+            # down in one derivation instead of oscillating through a
+            # halving ladder (which compiled novel tuples and
+            # re-overflowed; measured).
             self._clean_streak += 1
-            if self._clean_streak >= 8 and getattr(self, "_segments",
-                                                   None):
+            if (self._clean_streak >= 8 and self.use_device_order
+                    and not self._order_stale
+                    and self._last_hints is not None
+                    and getattr(self, "_segments_src", None)
+                    != ("steady",)):
                 self._clean_streak = 0
-                floor = [md for _, md in DEFAULT_SEGMENTS]
-                self._segments = [
-                    (f, max(md // 2,
-                            floor[min(i, len(floor) - 1)]))
-                    for i, (f, md) in enumerate(self._segments)]
+                from .ops import accel
+                cdf = accel.hint_class_cdf(self._last_hints[1])
+                self._segments = list(accel.segments_from_hint_cdf(
+                    np.asarray(cdf), R))
+                self._segments_src = ("steady",)
             return
         self._clean_streak = 0
         self._segments = [
             (f, min(max(1, md * 2), 128) if ov[min(i, len(ov) - 1)]
              else md) for i, (f, md) in enumerate(segments)]
+        self._segments_src = ("esc",)
         # drop the order: the overflowed frame's hints are CAPPED at
         # the starved budgets (a heavy ray in the zero class reports
         # nrec 0), so a device rebuild from them would re-class wrongly

@@ -520,6 +520,38 @@ def test_device_order_matches_host():
     np.testing.assert_array_equal(np.asarray(id3), np.asarray(ih3))
 
 
+def test_dilate_hints_and_cdf_segments():
+    """dilate_hints = per-pixel neighborhood max within the window
+    (wrap-around at edges is allowed to over-budget, never under), and
+    segments_from_hint_cdf boundaries never exceed their class CDF —
+    so with dilated (upper-bound) keys every class provably fits."""
+    rng = np.random.default_rng(5)
+    H, W = 16, 24
+    nrec = rng.integers(0, 9, (H, W)).astype(np.int32)
+    z = np.zeros_like(nrec)
+    _, d, _ = accel.dilate_hints(
+        jnp.asarray(z.reshape(-1)), jnp.asarray(nrec.reshape(-1)),
+        jnp.asarray(z.reshape(-1)), width=W, height=H, window=2)
+    d = np.asarray(d).reshape(H, W)
+    assert (d >= nrec).all()                 # dilation only raises
+    # interior pixels: exactly the (2*window-1)-ish neighborhood max
+    # (doubling roll-max covers radius >= window-1 per axis)
+    for y in range(2, H - 2):
+        for x in range(2, W - 2):
+            assert d[y, x] >= nrec[y - 1:y + 2, x - 1:x + 2].max()
+    # CDF-derived fractions sit at or below their class CDF
+    cdf = np.asarray(accel.hint_class_cdf(jnp.asarray(nrec.reshape(-1))))
+    segs = accel.segments_from_hint_cdf(cdf, H * W)
+    assert abs(sum(f for f, _ in segs) - 1.0) < 1e-9
+    used = 0.0
+    classes = (0, 1, 2, 4, 8)
+    for (f, md) in segs[:-1]:
+        used += f
+        ci = classes.index(md)
+        assert used * H * W <= cdf[ci] + 1e-9
+    assert segs[-1][1] == 8
+
+
 def test_segmented_return_hints():
     """return_hints on the segmented frame returns the same pixel-order
     hints an unsegmented hint frame would (modulo per-segment nrec
