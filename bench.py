@@ -188,7 +188,7 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
         for s in shards:
             _, o = body(tree, leaf_map, s, transform, intr, rot_dirs,
                         skip_table)
-            ov |= np.asarray(o)
+            ov |= np.asarray(o) > 0
         if not ov.any():
             break
         for i, hit in enumerate(ov):
