@@ -90,13 +90,23 @@ def main():
         return float(img.sum())
 
     results = {}
-    # compact device-resident cache -> segmented-scan compositor
+    # compact device-resident cache -> XLA segmented-scan compositor
     comp(False)
     t0 = time.perf_counter()
     for _ in range(3):
         comp(False)
     results["composite_compact_ms"] = round(
         (time.perf_counter() - t0) / 3 * 1000, 1)
+    # single-pass Pallas segmented-scan kernel (auto route)
+    try:
+        comp(None)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            comp(None)
+        results["composite_pallas_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1000, 1)
+    except Exception as e:
+        results["composite_pallas_ms"] = f"unavailable: {e!r}"
 
     print(json.dumps({
         "metric": "guided_sampling_1080p",

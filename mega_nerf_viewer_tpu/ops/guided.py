@@ -769,13 +769,20 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         jnp.asarray(model.min_position, jnp.float32),
         jnp.asarray(model.range, jnp.float32), opt, budget)
     res_c = model.query_device(cids, x)
-    return dict(
+    out = dict(
         results_c=res_c,
         z_c=z_c,
         ray_of_p=ray_of_p,
         offs=offs,
         num_samples=ns,
     )
+    if opt.need_viewdir:
+        # per-sample viewdirs were already materialized as MLP input
+        # columns — keep them so the Pallas compact compositor can
+        # evaluate the SH basis in-register instead of re-gathering
+        # [M, basis] rows (62 ms at M=2^21, measured)
+        out["vdirs_c"] = x[:, 3:6]
+    return out
 
 
 def _collect_and_query_fast_host(tree: N3Tree, leaf_map, model, camera,
@@ -895,14 +902,45 @@ def collect_and_query(tree: N3Tree, model, camera, opt: RenderOptions,
 
 
 def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
-                    use_pallas: bool = False):
+                    use_pallas=None):
     """Per-frame composite of cached MLP results
     (reference render_nerf_results, renderer_kernel.cu:294-327).
-    ``use_pallas`` routes through the fused Pallas kernel
-    (ops/pallas_composite.py, SH format only)."""
+
+    ``use_pallas``: None (default) auto-routes — compact SH caches
+    with per-sample viewdirs take the single-pass Pallas
+    segmented-scan kernel, everything else the XLA path; True forces
+    Pallas where available (including the padded-layout kernel, which
+    measured SLOWER than XLA at frame scale); False forces XLA."""
     fmt_sh = tree.data_format.format == "SH"
     if "results_c" in cache:
-        # compact device-resident cache (collect_and_query_fast):
+        # compact device-resident cache (collect_and_query_fast).
+        # Default route for SH with per-sample viewdirs: the Pallas
+        # single-pass segmented-scan compositor (pallas_composite.py)
+        # — the XLA associative scans + basis gather it replaces
+        # measured 96 + 62 ms of a 256 ms composite at M=2^21.
+        # ``use_pallas=False`` forces the XLA path (also used for
+        # depth mode / no-viewdir models, where the kernel has no
+        # per-sample shading input).
+        M = cache["results_c"].shape[0]
+        from . import pallas_composite as pc
+        if (use_pallas is not False and fmt_sh
+                and not opt.render_depth
+                and cache.get("vdirs_c") is not None
+                and M % (pc._SUB * 128) == 0
+                and not getattr(pc, "_compact_broken", False)):
+            try:
+                out = pc.composite_results_compact_pallas(
+                    cache["results_c"], cache["z_c"],
+                    cache["ray_of_p"], cache["offs"],
+                    cache["num_samples"], cache["vdirs_c"],
+                    opt, tree.data_format.basis_dim, fmt_sh)
+                return out.reshape(camera.height, camera.width, 4)
+            except Exception as e:  # pragma: no cover - backend-dep
+                import warnings
+                # don't retry the (remote, slow) compile every frame
+                pc._compact_broken = True
+                warnings.warn(f"Pallas compact compositor unavailable "
+                              f"({e!r}); falling back to XLA")
         # raygen + composite fused into one dispatch (camera rides as
         # traced arrays so motion never recompiles)
         out = _composite_frame_compact_jit(

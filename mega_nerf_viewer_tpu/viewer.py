@@ -62,7 +62,11 @@ class Viewer:
         # traced continuous knobs: slider-style changes to step_size /
         # thresholds / bbox / background reuse one compiled executable
         self.use_dynamic_knobs = True
-        self.use_pallas_composite = False
+        # guided compositor routing (guided.composite_frame): None =
+        # auto (compact SH caches take the single-pass Pallas
+        # segmented-scan kernel; padded/depth/no-viewdir take XLA);
+        # True/False force
+        self.use_pallas_composite = None
         # turbo: max-empty-cube leaf map (sub-1e-3 drift; see accel.py)
         self.use_turbo_map = False
         # Pallas entry-skip prepass (bit-identical pixels; pallas_march)

@@ -51,6 +51,74 @@ def test_pallas_composite_depth_mode(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def _compact_data(rng, R=500, basis_dim=9, M=4096):
+    """Compact layout matching _compact_reconstruct's contract:
+    sorted ray_of_p, inclusive offs, -padded tail."""
+    out_dim = 3 * basis_dim + 2
+    ns = rng.randint(0, 7, R).astype(np.int32)
+    total = int(ns.sum())
+    assert total <= M
+    offs = np.cumsum(ns).astype(np.int32)
+    ray_of_p = np.searchsorted(offs, np.arange(M), side="right")
+    ray_of_p = np.clip(ray_of_p, 0, R - 1).astype(np.int32)
+    res_c = rng.randn(M, out_dim).astype(f32)
+    res_c[:, min(3, out_dim - 1)] = np.abs(
+        res_c[:, min(3, out_dim - 1)]) * 3
+    # z increasing within each ray's run
+    z = np.sort(rng.rand(M).astype(f32) * 2)
+    vdirs_c = rng.randn(M, 3).astype(f32)
+    vdirs_c /= np.linalg.norm(vdirs_c, axis=-1, keepdims=True)
+    return res_c, z, ray_of_p, offs, ns, vdirs_c, out_dim
+
+
+@pytest.mark.parametrize("basis_dim", [1, 9])
+def test_pallas_compact_composite_matches_xla(rng, basis_dim):
+    """Single-pass segmented-scan kernel vs the XLA compact compositor
+    on the same compact cache — within the f32 scan-order budget.  The
+    XLA path gathers per-sample basis from per-RAY vdirs; feed the
+    kernel the row-expanded copies so both shade identically."""
+    from mega_nerf_viewer_tpu.ops.pallas_composite import \
+        composite_results_compact_pallas
+    res_c, z, ray_of_p, offs, ns, _, out_dim = _compact_data(
+        rng, basis_dim=basis_dim)
+    R = ns.shape[0]
+    vdirs_ray = rng.randn(R, 3).astype(f32)
+    vdirs_ray /= np.linalg.norm(vdirs_ray, axis=-1, keepdims=True)
+    vdirs_c = vdirs_ray[ray_of_p]
+    opt = RenderOptions()
+    want = np.asarray(guided.composite_results_compact(
+        jnp.asarray(res_c), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vdirs_ray),
+        opt, basis_dim, True))
+    got = np.asarray(composite_results_compact_pallas(
+        jnp.asarray(res_c), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vdirs_c),
+        opt, basis_dim, True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_compact_composite_basis_minmax(rng):
+    """basis_minmax trimming is applied statically in the kernel."""
+    from mega_nerf_viewer_tpu.ops.pallas_composite import \
+        composite_results_compact_pallas
+    res_c, z, ray_of_p, offs, ns, _, out_dim = _compact_data(
+        rng, basis_dim=9)
+    R = ns.shape[0]
+    vdirs_ray = rng.randn(R, 3).astype(f32)
+    vdirs_ray /= np.linalg.norm(vdirs_ray, axis=-1, keepdims=True)
+    vdirs_c = vdirs_ray[ray_of_p]
+    opt = RenderOptions(basis_minmax=(1, 5))
+    want = np.asarray(guided.composite_results_compact(
+        jnp.asarray(res_c), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vdirs_ray),
+        opt, 9, True))
+    got = np.asarray(composite_results_compact_pallas(
+        jnp.asarray(res_c), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vdirs_c),
+        opt, 9, True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_composite_nondivisible_rows(rng):
     results, z, ns, vdirs, _ = _data(rng, R=13)
     opt = RenderOptions()
