@@ -52,7 +52,9 @@ def main():
                                           skip_table=skip_table)
     float(cache["results_c"].sum())     # force
     ns_h = np.asarray(cache["num_samples"])
-    order = accel.order_from_hints(np.zeros(ns_h.shape[0], np.int32),
+    # (steps, ns) key pair — ns alone mixes short surface hits with
+    # long grazing marches in one class (collect 195 vs 77 ms measured)
+    order = accel.order_from_hints(np.asarray(cache["collect_steps"]),
                                    ns_h)
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
                                           chunk_size=1920,

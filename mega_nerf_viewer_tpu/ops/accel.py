@@ -927,6 +927,30 @@ def order_from_hints_device(steps, nrec, skips=None) -> tuple:
     return perm, inv
 
 
+@jax.jit
+def order_from_ns_steps_device(nrec, steps) -> tuple:
+    """Device-resident (perm, inv) for the GUIDED collect's cost sort.
+
+    Same key order as the host :func:`order_from_hints` (primary =
+    record count so the CDF budget classes stay contiguous, secondary
+    = march steps) but packed for guided ranges (ns <= 64 needs 6
+    bits, vs the render path's 4-bit nrec cap which would tie every
+    heavy recorder and mis-place segment boundaries).  Identical
+    permutation to the host path whenever ns < 64 and steps < 4096
+    (stable sorts break ties by index on both).  Building on device
+    skips two [R] hint fetches + a host argsort per invalidation
+    (~0.5 s of the dev tunnel's 35 MB/s link at 1080p; host argsort of
+    a [2M] key alone is ~100 ms anywhere)."""
+    nrec = jnp.asarray(nrec, jnp.int32)
+    steps = jnp.asarray(steps, jnp.int32)
+    key = (jnp.minimum(nrec, 63) << 12) | jnp.minimum(steps, 4095)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32),
+        unique_indices=True)
+    return perm, inv
+
+
 def order_from_steps(steps) -> tuple:
     """Build a (perm, inv) ray ordering from per-ray march costs (the
     ``steps`` output of a previous frame).  Compute once per camera
@@ -1099,16 +1123,21 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
 
 def segment_chunks(n_chunks: int, segments) -> tuple:
     """Resolve (fraction, max_dense) segments into whole-chunk counts.
-    The last segment absorbs rounding remainder; every segment gets at
-    least one chunk."""
+    The last segment absorbs the rounding remainder; every segment gets
+    at least one chunk when ``n_chunks >= len(segments)``.  With fewer
+    chunks than segments, tail segments receive ZERO chunks (never
+    negative) — callers with per-segment kernels should prefer their
+    small-frame degenerate path (one full-budget march) instead."""
     counts = []
     used = 0
     for i, (frac, md) in enumerate(segments):
+        left = n_chunks - used
         if i == len(segments) - 1:
-            c = n_chunks - used
+            c = left
         else:
+            reserve = max(0, min(left - 1, len(segments) - 1 - i))
             c = max(1, round(frac * n_chunks))
-            c = min(c, n_chunks - used - (len(segments) - 1 - i))
+            c = max(0, min(c, left - reserve))
         counts.append((c, md))
         used += c
     return tuple(counts)

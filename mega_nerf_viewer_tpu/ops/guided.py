@@ -244,15 +244,18 @@ def composite_results(results: jax.Array,      # [R, S, out_dim]
 # Leaf-map accelerated collection (TPU fast path)
 # ----------------------------------------------------------------------
 @functools.partial(
-    jax.jit, static_argnames=("opt", "chunk_size",
-                              "with_overflow", "segments"))
+    jax.jit, static_argnames=("opt", "chunk_size", "with_overflow",
+                              "segments", "return_steps",
+                              "keep_sorted"))
 def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
                    cen_world: jax.Array, opt: RenderOptions,
                    chunk_size: int = 0,
                    skip_table=None,
                    order=None,
                    with_overflow: bool = False,
-                   segments=None):
+                   segments=None,
+                   return_steps: bool = False,
+                   keep_sorted: bool = False):
     """March with the dense leaf map, recording only the tree-space ray
     parameter ``t`` of each recorded sample (one f32 per slot via
     one-hot select — TPU scatter is pathological).  The full sample rows
@@ -285,29 +288,53 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
     At the full budget the cap is the reference's SILENT one
     (rt_core.cuh:514) and never flags.  Records are identical to the
     unsegmented call whenever no flag is raised.  Returns
-    (t_buf, ns, seg_overflow bool [n_segments]).
+    (t_buf, ns[, steps], seg_overflow bool [n_segments]).
 
-    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32).
+    ``return_steps`` appends the per-ray march iteration count to the
+    outputs — the (steps, ns) key pair makes the NEXT invalidation's
+    cost sort dramatically tighter than ns alone (ns-only chunks mix
+    short surface hits with long grazing marches: 195 vs 77 ms at
+    1080p, measured).  ``keep_sorted`` skips the inverse-permutation
+    unpermute of the ordered call and returns outputs in SORTED ray
+    order (rank k = ray ``perm[k]``): the [R, S] t-buffer unpermute
+    alone costs 142 ms at 1080p/S=32 (128-byte rows sit on the
+    wide-row gather plateau, PERFORMANCE.md fact 1) while callers that
+    stay in sorted space (collect_and_query_fast) only ever pay a
+    narrow [R, 4] unpermute on the composited frame.
+
+    Returns (t_buf [R, S] f32 with -1 fill, num_samples [R] i32
+    [, steps [R] i32]).
     """
     if order is not None:
         perm, inv = order
         R0 = dirs.shape[0]
         dirs_s = dirs.at[perm].get(unique_indices=True, mode="clip")
+
+        def unperm(a):
+            return a.at[inv].get(unique_indices=True, mode="clip")[:R0]
+
         if segments is not None and chunk_size \
-                and R0 % chunk_size == 0 and R0 > chunk_size:
+                and R0 % chunk_size == 0 and R0 > chunk_size \
+                and R0 // chunk_size >= len(segments):
             from .accel import segment_chunks
             seg_counts = segment_chunks(R0 // chunk_size, segments)
             S = opt.max_guided_samples
-            t_parts, ns_parts, ovs = [], [], []
+            t_parts, ns_parts, st_parts, ovs = [], [], [], []
             off = 0
             for c_chunks, S_seg in seg_counts:
                 n = c_chunks * chunk_size
                 S_eff = min(S_seg, S)
-                tb, nsb, ovb = collect_t_fast(
+                out = collect_t_fast(
                     tree, leaf_map, dirs_s[off:off + n], cen_world,
                     opt.replace(max_guided_samples=S_eff),
                     chunk_size=chunk_size if c_chunks > 1 else 0,
-                    skip_table=skip_table, with_overflow=True)
+                    skip_table=skip_table, with_overflow=True,
+                    return_steps=return_steps)
+                if return_steps:
+                    tb, nsb, stb, ovb = out
+                    st_parts.append(stb)
+                else:
+                    tb, nsb, ovb = out
                 if S_eff < S:
                     tb = jnp.concatenate(
                         [tb, jnp.full((n, S - S_eff), -1.0,
@@ -319,18 +346,23 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
                 off += n
             t_s = jnp.concatenate(t_parts)
             ns_s = jnp.concatenate(ns_parts)
-            return (t_s.at[inv].get(unique_indices=True,
-                                    mode="clip")[:R0],
-                    ns_s.at[inv].get(unique_indices=True,
-                                     mode="clip")[:R0],
-                    jnp.stack(ovs))
-        t_s, ns_s = collect_t_fast(
+            outs = (t_s, ns_s) + ((jnp.concatenate(st_parts),)
+                                  if return_steps else ())
+            if not keep_sorted:
+                outs = tuple(unperm(a) for a in outs)
+            return outs + (jnp.stack(ovs),)
+        outs = collect_t_fast(
             tree, leaf_map, dirs_s, cen_world, opt,
-            chunk_size=chunk_size, skip_table=skip_table)
-        return (t_s.at[inv].get(unique_indices=True,
-                                mode="clip")[:R0],
-                ns_s.at[inv].get(unique_indices=True,
-                                 mode="clip")[:R0])
+            chunk_size=chunk_size, skip_table=skip_table,
+            return_steps=return_steps)
+        if not keep_sorted:
+            outs = tuple(unperm(a) for a in outs)
+        if segments is not None:
+            # small-frame degenerate path (fewer chunks than budget
+            # classes): one full-budget march — no class can starve,
+            # so no flag can raise
+            return outs + (jnp.zeros((len(segments),), bool),)
+        return outs
     from .accel import _f16_bits_to_f32
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
@@ -361,6 +393,7 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
         srange = jnp.arange(S, dtype=jnp.int32)
         ns = jnp.zeros((r,), jnp.int32)
         ov = jnp.zeros((r,), bool)
+        nst = jnp.zeros((r,), jnp.int32)
         t = tmin_c
         T = jnp.ones((r,), jnp.float32)
         active = ~miss_c & (t < tmax_c)
@@ -369,7 +402,8 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             return jnp.any(c[-1])
 
         def body(c):
-            t, T, t_buf, ns, ov, active = c
+            t, T, t_buf, ns, ov, nst, active = c
+            nst = nst + active
             pos = cen_c + t[:, None] * d_c
             posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
             cell = jnp.floor(posc * G).astype(jnp.int32)
@@ -424,11 +458,11 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             stop = dense & (T < opt.stop_thresh)
             t = jnp.where(active, t + delta_t, t)
             active = active & ~stop & (t < tmax_c)
-            return (t, T, t_buf, ns, ov, active)
+            return (t, T, t_buf, ns, ov, nst, active)
 
         c = jax.lax.while_loop(cond, body,
-                               (t, T, t_buf, ns, ov, active))
-        return c[2], c[3], jnp.any(c[4])
+                               (t, T, t_buf, ns, ov, nst, active))
+        return c[2], c[3], c[5], jnp.any(c[4])
 
     args = (jnp.broadcast_to(cen, (R, 3)), d, invdir, delta_scale,
             tmin, tmax, miss)
@@ -436,13 +470,15 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
         n_chunks = R // chunk_size
         args = tuple(a.reshape((n_chunks, chunk_size) + a.shape[1:])
                      for a in args)
-        t_buf, ns, ov = jax.lax.map(march_chunk, args)
-        t_buf, ns, ov = t_buf.reshape(R, S), ns.reshape(R), jnp.any(ov)
+        t_buf, ns, nst, ov = jax.lax.map(march_chunk, args)
+        t_buf, ns, nst, ov = (t_buf.reshape(R, S), ns.reshape(R),
+                              nst.reshape(R), jnp.any(ov))
     else:
-        t_buf, ns, ov = march_chunk(args)
+        t_buf, ns, nst, ov = march_chunk(args)
+    outs = (t_buf, ns) + ((nst,) if return_steps else ())
     if with_overflow:
-        return t_buf, ns, ov
-    return t_buf, ns
+        return outs + (ov,)
+    return outs
 
 
 @functools.partial(jax.jit, static_argnames=("opt",))
@@ -676,14 +712,30 @@ def _composite_frame_compact_jit(res_c, z_c, ray_of_p, offs, ns,
                                  transform, intr, rot_dirs,
                                  opt: RenderOptions, width: int,
                                  height: int, basis_dim: int,
-                                 fmt_sh: bool):
-    """One-dispatch guided frame: raygen + compact composite."""
+                                 fmt_sh: bool, perm=None, inv=None):
+    """One-dispatch guided frame: raygen + compact composite.
+
+    ``perm``/``inv`` (both or neither): the cache lives in sorted ray
+    space (collect_and_query_fast with an order) — per-ray viewdirs
+    are permuted into rank order before compositing and the finished
+    [R, 4] frame is unpermuted back to pixel order (ONE narrow gather;
+    the wide per-sample arrays never move)."""
     dirs, _ = screen2worlddir(width, height, intr[0], intr[1],
                               intr[2], intr[3], transform)
     vdirs = rodrigues(rot_dirs, dirs)
+    if perm is not None:
+        vdirs = vdirs.at[perm].get(unique_indices=True, mode="clip")
     out = composite_results_compact(res_c, z_c, ray_of_p, offs, ns,
                                     vdirs, opt, basis_dim, fmt_sh)
+    if inv is not None:
+        out = out.at[inv].get(unique_indices=True, mode="clip")
     return out.reshape(height, width, 4)
+
+
+@jax.jit
+def _unpermute_frame_jit(out_flat, inv):
+    """Pixel-order restore for a sorted-space composited frame."""
+    return out_flat.at[inv].get(unique_indices=True, mode="clip")
 
 
 def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
@@ -722,6 +774,15 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         order = (jnp.concatenate([order[0], tail]),
                  jnp.concatenate([order[1], tail]))
     total = None
+    steps_s = None
+    # Ordered collects stay in SORTED ray space end to end: rank k of
+    # every array is ray perm[k] (the pad tail was appended after the
+    # sorted ranks, so ranks [0, R) are exactly the real rays).  The
+    # [R, S] t-buffer inverse unpermute alone measured 142 ms at
+    # 1080p/S=32 (128-byte rows on the wide-row gather plateau,
+    # PERFORMANCE.md fact 1); staying sorted defers all reordering to
+    # ONE narrow [R, 4] gather on the composited frame (~11 ms),
+    # applied by composite_frame via the cached ``order_inv``.
     if order is not None and segments is not None:
         # CDF-budget segmented collect (VERDICT r2 item 4): reduced S
         # budgets for the hint-cheap ray classes.  The per-segment
@@ -732,10 +793,11 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         # is the rare stale-hint path only.
         segs = list(segments)
         while True:
-            t_buf, ns, seg_ov = collect_t_fast(
+            t_buf, ns, steps_s, seg_ov = collect_t_fast(
                 tree, leaf_map, dirs_p, cen, opt,
                 chunk_size=chunk_size, skip_table=skip_table,
-                order=order, segments=tuple(segs))
+                order=order, segments=tuple(segs),
+                return_steps=True, keep_sorted=True)
             t_buf, ns = t_buf[:R], ns[:R]
             stats = np.asarray(jnp.concatenate(
                 [jnp.sum(ns, dtype=jnp.int32)[None],
@@ -749,13 +811,24 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                     segs[i] = (segs[i][0],
                                max(1, min(opt.max_guided_samples,
                                           segs[i][1] * 2)))
-    else:
-        t_buf, ns = collect_t_fast(tree, leaf_map, dirs_p, cen,
-                                   opt, chunk_size=chunk_size,
-                                   skip_table=skip_table,
-                                   order=order)
+    elif order is not None:
+        t_buf, ns, steps_s = collect_t_fast(
+            tree, leaf_map, dirs_p, cen, opt, chunk_size=chunk_size,
+            skip_table=skip_table, order=order,
+            return_steps=True, keep_sorted=True)
         t_buf, ns = t_buf[:R], ns[:R]
-    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+    else:
+        t_buf, ns, steps_s = collect_t_fast(
+            tree, leaf_map, dirs_p, cen, opt, chunk_size=chunk_size,
+            skip_table=skip_table, return_steps=True)
+        t_buf, ns, steps_s = t_buf[:R], ns[:R], steps_s[:R]
+    if order is not None:
+        # rays (and their derived per-sample rows) live in sorted space
+        perm_r = order[0][:R]
+        dirs_r = dirs_p.at[perm_r].get(unique_indices=True, mode="clip")
+    else:
+        dirs_r = dirs
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs_r)
     if total is None:
         total = int(jnp.sum(ns))             # one scalar fetch
     # static compact budget: next 64k multiple (power-of-2 sizing
@@ -764,7 +837,7 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     # granularity keeps the jit-key count bounded at ~1.5% padding)
     budget = max(1 << 16, -(-total // (1 << 16)) * (1 << 16))
     x, cids, z_c, ray_of_p, offs = _compact_reconstruct(
-        tree, dirs, vdirs, cen, t_buf, ns,
+        tree, dirs_r, vdirs, cen, t_buf, ns,
         jnp.asarray(model.grid_dim, jnp.int32),
         jnp.asarray(model.min_position, jnp.float32),
         jnp.asarray(model.range, jnp.float32), opt, budget)
@@ -776,6 +849,22 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         offs=offs,
         num_samples=ns,
     )
+    if order is not None:
+        inv_r = order[1][:R]
+        # external contract: num_samples (and collect_steps) are PIXEL
+        # indexed — the Viewer feeds them straight to order_from_hints
+        # — while the compact arrays stay sorted; the compositor picks
+        # up num_samples_sorted + order_inv/order_perm from the cache
+        out["num_samples_sorted"] = ns
+        out["num_samples"] = ns.at[inv_r].get(unique_indices=True,
+                                              mode="clip")
+        out["order_perm"] = perm_r
+        out["order_inv"] = inv_r
+        if steps_s is not None:
+            steps_s = steps_s[:R].at[inv_r].get(unique_indices=True,
+                                                mode="clip")
+    if steps_s is not None:
+        out["collect_steps"] = steps_s
     if opt.need_viewdir:
         # per-sample viewdirs were already materialized as MLP input
         # columns — keep them so the Pallas compact compositor can
@@ -922,6 +1011,10 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
         # depth mode / no-viewdir models, where the kernel has no
         # per-sample shading input).
         M = cache["results_c"].shape[0]
+        # sorted-space caches (ordered collect) carry the pixel restore
+        # permutation; per-ray inputs below must use the sorted ns
+        ns_comp = cache.get("num_samples_sorted", cache["num_samples"])
+        inv = cache.get("order_inv")
         from . import pallas_composite as pc
         if (use_pallas is not False and fmt_sh
                 and not opt.render_depth
@@ -932,8 +1025,10 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
                 out = pc.composite_results_compact_pallas(
                     cache["results_c"], cache["z_c"],
                     cache["ray_of_p"], cache["offs"],
-                    cache["num_samples"], cache["vdirs_c"],
+                    ns_comp, cache["vdirs_c"],
                     opt, tree.data_format.basis_dim, fmt_sh)
+                if inv is not None:
+                    out = _unpermute_frame_jit(out, inv)
                 return out.reshape(camera.height, camera.width, 4)
             except Exception as e:  # pragma: no cover - backend-dep
                 import warnings
@@ -945,13 +1040,14 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
         # traced arrays so motion never recompiles)
         out = _composite_frame_compact_jit(
             cache["results_c"], cache["z_c"], cache["ray_of_p"],
-            cache["offs"], cache["num_samples"],
+            cache["offs"], ns_comp,
             jnp.asarray(camera.transform),
             jnp.asarray((camera.fx, camera.fy, camera.cx, camera.cy),
                         jnp.float32),
             jnp.asarray(opt.rot_dirs, jnp.float32),
             opt, camera.width, camera.height,
-            tree.data_format.basis_dim, fmt_sh)
+            tree.data_format.basis_dim, fmt_sh,
+            perm=cache.get("order_perm"), inv=inv)
         return out
     dirs, cen = screen2worlddir(
         camera.width, camera.height, camera.fx, camera.fy,

@@ -694,17 +694,25 @@ class Viewer:
                         chunk_size=self.fast_chunk_size,
                         skip_table=skip_table, order=g_order,
                         segments=segs)
-                    from .ops.accel import order_from_hints
-                    ns_h = np.asarray(cache["num_samples"])
-                    self._guided_order = order_from_hints(
-                        np.zeros(ns_h.shape[0], np.int32), ns_h)
+                    from .ops.accel import order_from_ns_steps_device
+                    # device-resident order rebuild with the (ns,
+                    # steps) key pair: ns alone mixes short surface
+                    # hits with long grazing marches in one class —
+                    # march chunks then run at the class max (collect
+                    # 195 vs 77 ms at 1080p, measured); building on
+                    # device skips two [R] hint fetches + host argsort
+                    # per invalidation
+                    self._guided_order = order_from_ns_steps_device(
+                        cache["num_samples"], cache["collect_steps"])
                     # derive the budget classes once per order-lifetime
                     # (fractions are static jit keys; escalation covers
-                    # drift until the next full re-derivation)
+                    # drift until the next full re-derivation); the one
+                    # [R] ns fetch happens only on this first pass
                     if self._guided_segments is None:
                         self._guided_segments = \
                             guided.segments_from_ns_hints(
-                                ns_h, opt.max_guided_samples)
+                                np.asarray(cache["num_samples"]),
+                                opt.max_guided_samples)
                     res = None
                 else:
                     cache, res = guided.collect_and_query(

@@ -520,6 +520,21 @@ def test_device_order_matches_host():
     np.testing.assert_array_equal(np.asarray(id3), np.asarray(ih3))
 
 
+def test_guided_device_order_matches_host():
+    """order_from_ns_steps_device == order_from_hints(steps, ns) for
+    guided ranges (ns < 64, steps < 4096): same (ns, steps) key order,
+    same stable tie-break — the Viewer's on-device guided order rebuild
+    is a pure transport optimization."""
+    rng = np.random.default_rng(7)
+    ns = rng.integers(0, 33, 5000).astype(np.int32)
+    steps = rng.integers(0, 2000, 5000).astype(np.int32)
+    ph, ih = accel.order_from_hints(steps, ns)
+    pd, idv = accel.order_from_ns_steps_device(jnp.asarray(ns),
+                                               jnp.asarray(steps))
+    np.testing.assert_array_equal(np.asarray(pd), np.asarray(ph))
+    np.testing.assert_array_equal(np.asarray(idv), np.asarray(ih))
+
+
 def test_dilate_hints_and_cdf_segments():
     """dilate_hints = per-pixel neighborhood max within the window
     (wrap-around at edges is allowed to over-budget, never under), and

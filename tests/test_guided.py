@@ -271,6 +271,21 @@ def test_fast_collection_appearance_embedding():
         np.asarray(cache_exact["results"])[valid], rtol=1e-4, atol=1e-4)
 
 
+def _pixel_rows(cache, total):
+    """Compact (z, results) rows in pixel-ray order regardless of the
+    cache's internal layout: ordered caches stay in SORTED ray space
+    (rank k = ray order_perm[k]) to avoid the wide [R, S] unpermute;
+    restore pixel order here for comparisons."""
+    z = np.asarray(cache["z_c"])[:total]
+    res = np.asarray(cache["results_c"])[:total]
+    if "order_perm" in cache:
+        rop = np.asarray(cache["ray_of_p"])[:total]
+        pix = np.asarray(cache["order_perm"])[rop]
+        o = np.argsort(pix, kind="stable")
+        z, res = z[o], res[o]
+    return z, res
+
+
 def test_ordered_collect_identical():
     """collect_t_fast/collect_and_query_fast with a cost-sorted ray
     order produce outputs identical to the unordered call (ordering is
@@ -295,11 +310,15 @@ def test_ordered_collect_identical():
     np.testing.assert_array_equal(np.asarray(a["num_samples"]),
                                   np.asarray(b["num_samples"]))
     total = int(np.asarray(a["num_samples"]).sum())
-    np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
-                                  np.asarray(b["z_c"])[:total])
-    np.testing.assert_allclose(np.asarray(a["results_c"])[:total],
-                               np.asarray(b["results_c"])[:total],
-                               rtol=1e-5, atol=1e-5)
+    za, ra = _pixel_rows(a, total)
+    zb, rb = _pixel_rows(b, total)
+    np.testing.assert_array_equal(za, zb)
+    np.testing.assert_allclose(ra, rb, rtol=1e-5, atol=1e-5)
+    # end-to-end: the sorted-space cache composites to the same frame
+    # (exercises the perm/inv restore in _composite_frame_compact_jit)
+    img_a = np.asarray(guided.composite_frame(tree, cam, opt, a))
+    img_b = np.asarray(guided.composite_frame(tree, cam, opt, b))
+    np.testing.assert_allclose(img_a, img_b, rtol=1e-5, atol=1e-5)
 
 
 def test_segmented_collect_identical_and_escalates():
@@ -333,8 +352,8 @@ def test_segmented_collect_identical_and_escalates():
                                       segments=segs)
     np.testing.assert_array_equal(ns, np.asarray(b["num_samples"]))
     total = int(ns.sum())
-    np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
-                                  np.asarray(b["z_c"])[:total])
+    np.testing.assert_array_equal(_pixel_rows(a, total)[0],
+                                  _pixel_rows(b, total)[0])
     # stale hints: push the whole frame into starved classes — the
     # per-segment escalation must still produce identical records
     R = ns.shape[0]
@@ -345,5 +364,5 @@ def test_segmented_collect_identical_and_escalates():
         segments=((0.5, 0), (0.4, 1), (0.1, 16)))
     np.testing.assert_array_equal(ns, np.asarray(c["num_samples"]))
     total = int(ns.sum())
-    np.testing.assert_array_equal(np.asarray(a["z_c"])[:total],
-                                  np.asarray(c["z_c"])[:total])
+    np.testing.assert_array_equal(_pixel_rows(a, total)[0],
+                                  _pixel_rows(c, total)[0])
