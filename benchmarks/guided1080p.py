@@ -61,13 +61,22 @@ def main():
                                           skip_table=skip_table,
                                           order=order)
     float(cache["results_c"].sum())     # warm the ordered program
-    t0 = time.perf_counter()
-    cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
-                                          chunk_size=1920,
-                                          skip_table=skip_table,
-                                          order=order)
-    float(cache["results_c"].sum())     # force device completion
-    invalidation_ms = (time.perf_counter() - t0) * 1000.0
+
+    def time_invalidation(**kw):
+        # median of 3: the first post-compile execution on the axon
+        # link can read up to ~4x slow (measured; see
+        # perf-measurement notes) — a single sample is not reliable
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = guided.collect_and_query_fast(
+                tree, lm, model, cam, opt, chunk_size=1920,
+                skip_table=skip_table, order=order, **kw)
+            float(c["results_c"].sum())   # force device completion
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        return c, sorted(ts)[1]
+
+    cache, invalidation_ms = time_invalidation()
     n_samples = int(np.asarray(cache["num_samples"]).sum())
 
     # CDF-budget segmented collect (what the Viewer runs once hints
@@ -78,12 +87,7 @@ def main():
         tree, lm, model, cam, opt, chunk_size=1920,
         skip_table=skip_table, order=order, segments=segs)
     float(cache_s["results_c"].sum())   # warm (escalation settles here)
-    t0 = time.perf_counter()
-    cache_s = guided.collect_and_query_fast(
-        tree, lm, model, cam, opt, chunk_size=1920,
-        skip_table=skip_table, order=order, segments=segs)
-    float(cache_s["results_c"].sum())
-    invalidation_seg_ms = (time.perf_counter() - t0) * 1000.0
+    cache_s, invalidation_seg_ms = time_invalidation(segments=segs)
     assert int(np.asarray(cache_s["num_samples"]).sum()) == n_samples
 
     def comp(use_pallas):
@@ -92,21 +96,20 @@ def main():
         return float(img.sum())
 
     results = {}
+
+    def time_comp(use_pallas, n=10):
+        comp(use_pallas)                  # warm
+        comp(use_pallas)                  # absorb first-exec slowness
+        t0 = time.perf_counter()
+        for _ in range(n):
+            comp(use_pallas)
+        return round((time.perf_counter() - t0) / n * 1000, 1)
+
     # compact device-resident cache -> XLA segmented-scan compositor
-    comp(False)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        comp(False)
-    results["composite_compact_ms"] = round(
-        (time.perf_counter() - t0) / 3 * 1000, 1)
+    results["composite_compact_ms"] = time_comp(False)
     # single-pass Pallas segmented-scan kernel (auto route)
     try:
-        comp(None)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            comp(None)
-        results["composite_pallas_ms"] = round(
-            (time.perf_counter() - t0) / 3 * 1000, 1)
+        results["composite_pallas_ms"] = time_comp(None)
     except Exception as e:
         results["composite_pallas_ms"] = f"unavailable: {e!r}"
 
