@@ -775,6 +775,7 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                  jnp.concatenate([order[1], tail]))
     total = None
     steps_s = None
+    settled_segs = None
     # Ordered collects stay in SORTED ray space end to end: rank k of
     # every array is ray perm[k] (the pad tail was appended after the
     # sorted ranks, so ranks [0, R) are exactly the real rays).  The
@@ -805,6 +806,12 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
             total = int(stats[0])
             ov = stats[1:] > 0
             if not ov.any():
+                # expose the SETTLED ladder so the caller can start the
+                # next invalidation here instead of re-walking the
+                # escalation (each walk step is a full re-collect; a
+                # novel tuple is a remote recompile — measured 4 walks
+                # + 5-6 s compiles per pose before persistence)
+                settled_segs = tuple(segs)
                 break
             for i, hit in enumerate(ov):
                 if hit:
@@ -849,6 +856,8 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         offs=offs,
         num_samples=ns,
     )
+    if settled_segs is not None:
+        out["segments"] = settled_segs
     if order is not None:
         inv_r = order[1][:R]
         # external contract: num_samples (and collect_steps) are PIXEL

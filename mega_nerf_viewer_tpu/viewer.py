@@ -121,6 +121,7 @@ class Viewer:
         # order-lifetime (fractions are static jit keys).
         self.use_guided_segments = True
         self._guided_segments = None
+        self._guided_seg_src = None
         # initial dense-record budget for hint-gathering frames; steady
         # frames use per-segment budgets (ops/accel.DEFAULT_SEGMENTS)
         # and both escalate on overflow
@@ -176,6 +177,7 @@ class Viewer:
         # re-derive budget classes (stale ones stay correct via
         # escalation, but would thrash it)
         self._guided_segments = None
+        self._guided_seg_src = None
 
     def clear(self):
         self.tree = None
@@ -521,15 +523,18 @@ class Viewer:
             return img, res
         return img, None
 
-    def _estimate_dilation(self):
+    def _estimate_dilation(self, attr: str = "_order_back"):
         """Quantized hint-dilation window from the camera delta since
         the hints' pose: pixel sweep ~ fx * tan(view-direction angle).
         Returns 0 (no dilation) only when no previous pose is known;
-        tiny moves use the cheapest window."""
+        tiny moves use the cheapest window.  ``attr`` names the
+        last-pose attribute so the fast path and the guided path track
+        their episodes independently (their hints refresh at different
+        times)."""
         cam = self.camera
         back = np.asarray(cam.transform, np.float32)[:, 2]
-        prev = getattr(self, "_order_back", None)
-        self._order_back = back.copy()
+        prev = getattr(self, attr, None)
+        setattr(self, attr, back.copy())
         if prev is None:
             return 0
         c = float(np.clip(np.dot(prev, back)
@@ -687,6 +692,7 @@ class Viewer:
                         g_order = None
                     if g_order is None:
                         self._guided_segments = None
+                        self._guided_seg_src = None
                     segs = (self._guided_segments
                             if self.use_guided_segments else None)
                     cache = guided.collect_and_query_fast(
@@ -694,6 +700,14 @@ class Viewer:
                         chunk_size=self.fast_chunk_size,
                         skip_table=skip_table, order=g_order,
                         segments=segs)
+                    if segs is not None and "segments" in cache:
+                        # escalations settle HERE: the next invalidation
+                        # starts at the settled ladder instead of
+                        # re-walking it (each walk step is a full
+                        # re-collect, and novel tuples are remote
+                        # recompiles — measured 4 walks + 5-6 s compile
+                        # stalls per pose before persistence)
+                        self._guided_segments = cache["segments"]
                     from .ops.accel import order_from_ns_steps_device
                     # device-resident order rebuild with the (ns,
                     # steps) key pair: ns alone mixes short surface
@@ -701,18 +715,48 @@ class Viewer:
                     # march chunks then run at the class max (collect
                     # 195 vs 77 ms at 1080p, measured); building on
                     # device skips two [R] hint fetches + host argsort
-                    # per invalidation
+                    # per invalidation.  Under camera motion these
+                    # hints are one pose stale: max-DILATE them by the
+                    # estimated silhouette sweep (the fast path's
+                    # treatment, accel.dilate_hints) so band rays
+                    # class by their neighborhood's worst case and the
+                    # budget ladder doesn't re-walk every pose.
+                    ns_h = cache["num_samples"]
+                    st_h = cache["collect_steps"]
+                    window = self._estimate_dilation(
+                        attr="_guided_back")
+                    if window:
+                        st_h, ns_h, _ = accel.dilate_hints(
+                            st_h, ns_h, st_h, width=cam.width,
+                            height=cam.height, window=window)
                     self._guided_order = order_from_ns_steps_device(
-                        cache["num_samples"], cache["collect_steps"])
-                    # derive the budget classes once per order-lifetime
-                    # (fractions are static jit keys; escalation covers
-                    # drift until the next full re-derivation); the one
-                    # [R] ns fetch happens only on this first pass
-                    if self._guided_segments is None:
-                        self._guided_segments = \
-                            guided.segments_from_ns_hints(
-                                np.asarray(cache["num_samples"]),
-                                opt.max_guided_samples)
+                        ns_h, st_h)
+                    if self.use_guided_segments:
+                        # budget classes from the (dilated) ns CDF — a
+                        # [K]-scalar fetch, re-derived once per motion
+                        # episode; moving episodes add one ladder step
+                        # of headroom for coherent value transitions
+                        # (accel.segments_from_hint_cdf)
+                        src = ("dil", window) if window else ("steady",)
+                        if (self._guided_segments is None
+                                or getattr(self, "_guided_seg_src",
+                                           None) != src):
+                            S = int(opt.max_guided_samples)
+                            classes = [0]
+                            c = 1
+                            while c < S:
+                                classes.append(c)
+                                c *= 2
+                            classes.append(S)
+                            cdf = accel.hint_class_cdf(
+                                ns_h, classes=tuple(classes))
+                            self._guided_segments = \
+                                accel.segments_from_hint_cdf(
+                                    np.asarray(cdf),
+                                    cam.width * cam.height,
+                                    classes=tuple(classes),
+                                    headroom=bool(window))
+                            self._guided_seg_src = src
                     res = None
                 else:
                     cache, res = guided.collect_and_query(
