@@ -121,7 +121,9 @@ def _query_grouped(params: MLPParams, cluster_ids: jax.Array,
                    x: jax.Array) -> jax.Array:
     """Sort-once grouped dispatch: samples in ANY order -> outputs in
     the same order.  One stable sort by cluster id, grouped matmuls,
-    inverse-permutation gather back."""
+    inverse-permutation gather back.  (ragged_dot reference path; the
+    production dispatcher is :func:`query_grouped` — see
+    :func:`mlp_forward_chunked` for why.)"""
     C = params.n_clusters
     ids = jnp.clip(cluster_ids.astype(jnp.int32), 0, C - 1)
     perm = jnp.argsort(ids, stable=True)
@@ -135,6 +137,110 @@ def _query_grouped(params: MLPParams, cluster_ids: jax.Array,
         axis=1, dtype=jnp.int32)
     out_sorted = mlp_forward_grouped(params, sorted_x, group_sizes)
     return out_sorted.at[inv].get(unique_indices=True, mode="clip")
+
+
+def mlp_forward_chunked(params: MLPParams, x_al: jax.Array,
+                        chunk_cids: jax.Array, chunk: int) -> jax.Array:
+    """Cluster-pure chunked batched-DENSE MLP forward.
+
+    ``lax.ragged_dot`` measured ~9x off the dense-matmul floor on v5e
+    (8-layer 256-wide chain at 1.44M samples: 67 vs 7 ms device time,
+    probe 104), so the production dispatcher instead pads each
+    cluster's sorted segment to a ``chunk`` multiple — every chunk is
+    then cluster-PURE — and runs one batched dense einsum per layer
+    with per-chunk gathered weights ([nb, in, out]; nb*256 KB of
+    weight traffic, negligible).  The bias rides the epilogue as a
+    broadcast add: the ragged path's ones-column augmentation cost
+    ~60 ms/8 layers because a 257-wide f32 activation tile-pads to
+    384 lanes (probe 103).  Measured: 11.2 ms device time for the
+    same 8-layer chain (probe 105).
+
+    Args:
+      x_al: f32 [nb*chunk, in] cluster-sorted samples, each cluster's
+        segment zero-padded to a ``chunk`` multiple.
+      chunk_cids: i32 [nb] cluster id of each (pure) chunk.
+    Returns f32 [nb*chunk, out] (pad rows contain garbage — callers
+    gather only valid positions back).
+    """
+    nb = x_al.shape[0] // chunk
+    h = x_al.reshape(nb, chunk, x_al.shape[-1])
+    x0 = h
+    L = len(params.weights)
+    for l in range(L):
+        if l in params.skips:
+            h = jnp.concatenate([h, x0], axis=-1)
+        w = params.weights[l][chunk_cids]      # [nb, in_l, out_l]
+        b = params.biases[l][chunk_cids]       # [nb, out_l]
+        h = jnp.einsum("bnk,bkm->bnm", h, w,
+                       preferred_element_type=jnp.float32) \
+            + b[:, None, :]
+        if l < L - 1:
+            h = jax.nn.relu(h)
+    return h.reshape(nb * chunk, -1)
+
+
+def _query_chunked(params: MLPParams, cluster_ids: jax.Array,
+                   x: jax.Array, chunk: int) -> jax.Array:
+    """Sort-once chunked-dense dispatch (traceable body): samples in
+    ANY order -> outputs in the same order.
+
+    Builds the cluster-aligned layout entirely on device with STATIC
+    shapes: the aligned buffer is bounded by ``ceil(n/chunk)*chunk +
+    C*chunk`` (each cluster wastes < one chunk of padding), so no host
+    sync is needed to size it.  Both heavy row gathers carry honest
+    hints: sorted-space first (unique permutation), then the
+    nondecreasing aligned-slot expansion (indices_are_sorted)."""
+    C = params.n_clusters
+    n = x.shape[0]
+    ids = jnp.clip(cluster_ids.astype(jnp.int32), 0, C - 1)
+    perm = jnp.argsort(ids, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    sorted_x = x.at[perm].get(unique_indices=True, mode="clip")
+    counts = jnp.sum(
+        ids[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None],
+        axis=1, dtype=jnp.int32)                       # [C]
+    cum = jnp.cumsum(counts)
+    seg_start = cum - counts                           # exclusive
+    cnt_al = -(-counts // chunk) * chunk
+    cum_al = jnp.cumsum(cnt_al)
+    al_start = cum_al - cnt_al
+    P_al = (-(-n // chunk) + C) * chunk                # static bound
+    s = jnp.arange(P_al, dtype=jnp.int32)
+    # cluster of each aligned slot (tail slack clips to the last one —
+    # its outputs are never read back)
+    c_s = jnp.sum(s[:, None] >= al_start[None, :], axis=1,
+                  dtype=jnp.int32) - 1
+    c_s = jnp.clip(c_s, 0, C - 1)
+    off = s - al_start[c_s]
+    k = seg_start[c_s] + jnp.minimum(
+        off, jnp.maximum(counts[c_s] - 1, 0))          # nondecreasing
+    x_al = sorted_x.at[jnp.clip(k, 0, n - 1)].get(
+        indices_are_sorted=True, mode="clip")
+    chunk_cids = c_s.reshape(-1, chunk)[:, 0]
+    out_al = mlp_forward_chunked(params, x_al, chunk_cids, chunk)
+    # aligned position of sorted rank r, composed through inv so ONE
+    # wide-row gather restores the caller's order
+    r = jnp.arange(n, dtype=jnp.int32)
+    c_r = jnp.clip(jnp.sum(r[:, None] >= seg_start[None, :], axis=1,
+                           dtype=jnp.int32) - 1, 0, C - 1)
+    s_r = al_start[c_r] + (r - seg_start[c_r])
+    pos = s_r.at[inv].get(unique_indices=True, mode="clip")
+    return out_al.at[pos].get(unique_indices=True, mode="clip")
+
+
+def query_grouped(params: MLPParams, cluster_ids: jax.Array,
+                  x: jax.Array) -> jax.Array:
+    """Shape-adaptive grouped dispatch (traceable): chunked-dense at
+    scale, one-hot all-clusters select for small batches (where C x
+    FLOPs is cheaper than the sort/align skeleton)."""
+    if x.shape[0] >= (1 << 16):
+        return _query_chunked(params, cluster_ids, x, 1 << 13)
+    ids = jnp.clip(cluster_ids.astype(jnp.int32), 0,
+                   params.n_clusters - 1)
+    return mlp_forward_all(params, ids, x)
+
+
+_query_auto_jit = jax.jit(query_grouped)
 
 
 def mlp_forward_all(params: MLPParams, cluster_ids: jax.Array,
@@ -180,20 +286,21 @@ class MegaNeRFModel:
     # ------------------------------------------------------------------
     def query_device(self, cluster_ids, samples) -> jax.Array:
         """Fully on-device grouped dispatch (production path): one
-        stable sort + per-layer ``lax.ragged_dot`` grouped matmuls —
-        O(1) dispatches and zero host syncs, vs the reference's
-        per-cluster per-chunk loop with ``.item()`` syncs
-        (cuda_renderer.cpp:165-203; :meth:`query` mirrors that loop and
-        remains for parity / the eager-torch fallback).
+        stable sort + chunked-dense batched matmuls
+        (:func:`mlp_forward_chunked`) — O(1) dispatches and zero host
+        syncs, vs the reference's per-cluster per-chunk loop with
+        ``.item()`` syncs (cuda_renderer.cpp:165-203; :meth:`query`
+        mirrors that loop and remains for parity / the eager-torch
+        fallback).
 
         Args: cluster_ids [n] int, samples [n, in_dim].
         Returns f32 [n, out_dim] in the input order (device array).
         """
         if self._torch_modules is not None:
             return self.query(np.asarray(cluster_ids), samples)
-        return _query_grouped(self.params,
-                              jnp.asarray(cluster_ids).reshape(-1),
-                              jnp.asarray(samples))
+        return _query_auto_jit(self.params,
+                               jnp.asarray(cluster_ids).reshape(-1),
+                               jnp.asarray(samples))
 
     def cluster_ids_device(self, points_yz: jax.Array) -> jax.Array:
         """Spatial cluster id from world (y, z), on device

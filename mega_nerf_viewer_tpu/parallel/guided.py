@@ -28,7 +28,7 @@ from jax import shard_map
 from ..options import RenderOptions
 from ..n3tree.tree import N3Tree
 from ..ops import guided as G
-from ..models.meganerf import MLPParams, _query_grouped
+from ..models.meganerf import MLPParams, query_grouped
 from .mesh import RAY_AXIS
 
 
@@ -59,7 +59,7 @@ def _guided_sharded_program(mesh: Mesh, opt: RenderOptions, budget: int,
         x, cids, z_c, ray_of_p, offs = G._compact_reconstruct(
             tree, dirs, vdirs, cen, t_buf, ns, grid_dim, min_position,
             pos_range, opt, budget)
-        res_c = _query_grouped(params, cids, x)
+        res_c = query_grouped(params, cids, x)
         out = G.composite_results_compact(
             res_c, z_c, ray_of_p, offs, ns, vdirs, opt, basis_dim,
             fmt_sh)

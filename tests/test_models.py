@@ -180,3 +180,43 @@ def test_grouped_forward_with_skips():
         np.asarray(mlp_forward(p, jnp.int32(0), jnp.asarray(x[:12]))),
         np.asarray(mlp_forward(p, jnp.int32(2), jnp.asarray(x[12:])))])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_query_chunked_matches_ragged():
+    """The chunked-dense production dispatch (_query_chunked) must
+    match the ragged_dot reference path for uneven cluster mixes
+    (incl. empty clusters) and skip-concat layers."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.models.meganerf import (
+        MLPParams, _query_grouped, _query_chunked)
+    rng = np.random.RandomState(5)
+    C, in_dim, h = 5, 4, 16
+    dims = [(in_dim, h), (h, h), (h + in_dim, h), (h, 6)]
+    weights = [jnp.asarray(rng.randn(C, a, b).astype(np.float32) * 0.3)
+               for a, b in dims]
+    biases = [jnp.asarray(rng.randn(C, b).astype(np.float32) * 0.1)
+              for _, b in dims]
+    p = MLPParams(weights=weights, biases=biases, skips=(2,))
+    n = 1000
+    x = rng.randn(n, in_dim).astype(np.float32)
+    ids = rng.choice([0, 1, 3, 4], size=n,
+                     p=[0.7, 0.1, 0.15, 0.05]).astype(np.int32)  # 2 empty
+    want = np.asarray(_query_grouped(p, jnp.asarray(ids), jnp.asarray(x)))
+    got = np.asarray(_query_chunked(p, jnp.asarray(ids), jnp.asarray(x),
+                                    64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_query_grouped_large_routing():
+    """query_grouped routes >=64k batches through the chunked-dense
+    path; outputs must match the host loop at that scale."""
+    import jax.numpy as jnp
+    m = MegaNeRFModel.synthetic(data_dim=4, n_clusters=4, hidden=16,
+                                n_layers=2, grid_dim=(2, 2))
+    rng = np.random.RandomState(6)
+    n = (1 << 16) + 77
+    x = rng.randn(n, 3).astype(np.float32)
+    ids = rng.randint(0, 4, n).astype(np.int32)
+    got = np.asarray(m.query_device(jnp.asarray(ids), jnp.asarray(x)))
+    want = np.asarray(m.query(ids, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
