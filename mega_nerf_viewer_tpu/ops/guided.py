@@ -551,17 +551,39 @@ def _compact_reconstruct(tree: N3Tree, dirs: jax.Array, vdirs: jax.Array,
             jnp.zeros((budget,), jnp.int32).at[offs[:-1]].add(
                 1, indices_are_sorted=True)),
         0, R - 1)
-    start = offs[ray_of_p] - ns[ray_of_p]
-    slot = jnp.clip(p - start, 0, t_buf.shape[1] - 1)
-    t_v = t_buf[ray_of_p, slot]                            # [budget]
+    # ONE packed per-ray row gather replaces five separate per-sample
+    # gathers (offs, ns, dirs, vdirs, scaled-dir): per-row gather cost
+    # is flat to ~8 i32 words (PERFORMANCE.md fact 1), so packing
+    # [dirs, (vdirs), zfac, bitcast(start)] into a single f32 row cuts
+    # the reconstruct's gather bill ~3x (174 -> ~90 ms wall at 1080p,
+    # probe 122).  zfac folds the tz norm per RAY: |t * dn / scale| =
+    # t * |dn / scale| for t >= 0 (rt_core.cuh:527-534 math, ulp-level
+    # association difference only).  ray_of_p is nondecreasing, so the
+    # gather also carries the sorted-indices hint.
     d = dirs * tree.scale[None, :]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    tz = t_v[:, None] * d[ray_of_p] / tree.scale[None, :]
-    z = jnp.linalg.norm(tz, axis=-1)
-    pos = cen_world[None, :] + dirs[ray_of_p] * z[:, None]
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    zfac = jnp.linalg.norm(dn / tree.scale[None, :], axis=-1)
+    start_r = offs - ns                                    # [R] excl. starts
+    parts = [dirs]
+    if opt.need_viewdir:
+        parts.append(vdirs)
+    parts += [zfac[:, None],
+              jax.lax.bitcast_convert_type(start_r, jnp.float32)[:, None]]
+    ray_rows = jnp.concatenate(parts, axis=-1)             # [R, 5|8]
+    g = ray_rows.at[ray_of_p].get(indices_are_sorted=True, mode="clip")
+    start = jax.lax.bitcast_convert_type(g[:, -1], jnp.int32)
+    S = t_buf.shape[1]
+    slot = jnp.clip(p - start, 0, S - 1)
+    # flat nondecreasing index into the t-buffer (2-D advanced indexing
+    # would lower to an unhinted gather)
+    t_v = t_buf.reshape(-1).at[
+        jnp.clip(ray_of_p * S + slot, 0, R * S - 1)].get(
+        indices_are_sorted=True, mode="clip")              # [budget]
+    z = t_v * g[:, -2]
+    pos = cen_world[None, :] + g[:, 0:3] * z[:, None]
     cols = [pos]
     if opt.need_viewdir:
-        cols.append(vdirs[ray_of_p])
+        cols.append(g[:, 3:6])
     if opt.appearance_embedding != -1:
         cols.append(jnp.full((budget, 1), opt.appearance_embedding,
                              jnp.float32))
@@ -575,6 +597,26 @@ def _compact_reconstruct(tree: N3Tree, dirs: jax.Array, vdirs: jax.Array,
                   0.0, gd[1] - 1.0).astype(jnp.int32)
     cluster_ids = jnp.where(valid, g1 * grid_dim[1] + g2, 0)
     return x, cluster_ids, jnp.where(valid, z, 0.0), ray_of_p, offs
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "budget"))
+def _reconstruct_and_query(params, tree: N3Tree, dirs: jax.Array,
+                           vdirs: jax.Array, cen_world: jax.Array,
+                           t_buf: jax.Array, ns: jax.Array,
+                           grid_dim: jax.Array, min_position: jax.Array,
+                           pos_range: jax.Array, opt: RenderOptions,
+                           budget: int):
+    """Fused reconstruct + grouped MLP query: ONE dispatch instead of
+    two (each round trip costs ~27 ms through the dev tunnel, ~1 ms
+    production) and lets XLA overlap the reconstruct gathers with the
+    query's sort skeleton."""
+    from ..models.meganerf import query_grouped
+    x, cids, z_c, ray_of_p, offs = _compact_reconstruct(
+        tree, dirs, vdirs, cen_world, t_buf, ns, grid_dim,
+        min_position, pos_range, opt, budget)
+    res_c = query_grouped(params, cids, x)
+    vdirs_c = x[:, 3:6] if opt.need_viewdir else None
+    return res_c, z_c, ray_of_p, offs, vdirs_c
 
 
 def segments_from_ns_hints(ns, max_samples: int,
@@ -843,12 +885,11 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     # op, the grouped matmuls included, paid for the padding; 64k
     # granularity keeps the jit-key count bounded at ~1.5% padding)
     budget = max(1 << 16, -(-total // (1 << 16)) * (1 << 16))
-    x, cids, z_c, ray_of_p, offs = _compact_reconstruct(
-        tree, dirs_r, vdirs, cen, t_buf, ns,
+    res_c, z_c, ray_of_p, offs, vdirs_c = _reconstruct_and_query(
+        model.params, tree, dirs_r, vdirs, cen, t_buf, ns,
         jnp.asarray(model.grid_dim, jnp.int32),
         jnp.asarray(model.min_position, jnp.float32),
         jnp.asarray(model.range, jnp.float32), opt, budget)
-    res_c = model.query_device(cids, x)
     out = dict(
         results_c=res_c,
         z_c=z_c,
@@ -879,7 +920,7 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         # columns — keep them so the Pallas compact compositor can
         # evaluate the SH basis in-register instead of re-gathering
         # [M, basis] rows (62 ms at M=2^21, measured)
-        out["vdirs_c"] = x[:, 3:6]
+        out["vdirs_c"] = vdirs_c
     return out
 
 
