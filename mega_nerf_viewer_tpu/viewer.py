@@ -50,6 +50,10 @@ class Viewer:
         self.fps = FpsCounter()
         self.timer = FrameTimer()
         self._visit_tracker = None
+        # True once at least one visit-tracked frame has fed the tracker
+        # since its last reset — pruning on an unfed tracker would
+        # delete every unvisited chunk (see the prune gate in render())
+        self._visits_valid = False
         self._prune_happened = False
         self._can_reuse_results = False
         self._guided_cache = None
@@ -168,6 +172,7 @@ class Viewer:
         self._skip_table = None
         self._visit_tracker = jnp.zeros(
             (tree.max_capacity,), jnp.int32).at[0].set(1)
+        self._visits_valid = False
         basis_dim = tree.data_format.basis_dim
         self.options = self.options.replace(
             basis_minmax=(0, max(basis_dim - 1, 0)))
@@ -248,9 +253,16 @@ class Viewer:
         # so a model-less viewer must never pay the visit-tracked exact
         # march for them (regression: a full-capacity static tree
         # orbited at 71 s/frame because every camera move re-tracked)
+        # capacity pressure: the prune trigger zone (reference checks
+        # capacity + split_batch > max unconditionally,
+        # cuda_renderer.cpp:149-154)
+        pressure = (self.max_tree_capacity - int(self.tree.capacity)
+                    < opt.split_batch_size)
         track_visit = (self.model is not None
-                       and ((camera_changed and int(self.tree.capacity)
-                             > self.max_tree_capacity * 3 // 4)
+                       and (((camera_changed or not self._visits_valid)
+                             and (pressure
+                                  or int(self.tree.capacity)
+                                  > self.max_tree_capacity * 3 // 4))
                             or self._prune_happened))
         if camera_changed:
             self._can_reuse_results = False
@@ -285,6 +297,7 @@ class Viewer:
         if track_visit and res is not None:
             self._visit_tracker = jnp.maximum(self._visit_tracker,
                                               res.visited)
+            self._visits_valid = True
 
         if opt.use_splitting and not cam.is_dragging() \
                 and self.model is not None and res is not None:
@@ -295,7 +308,14 @@ class Viewer:
         # chunks by default so it only ever fires in refinement sessions;
         # we gate on a refinable session (model present) so statically
         # viewed trees whose arrays are sized to fit are never pruned.
-        if (self.model is not None
+        # _visits_valid gate: the reference marks visits on EVERY traced
+        # frame (atomicCAS, rt_core.cuh:133) so its tracker is always
+        # populated when prune fires; ours tracks only under capacity
+        # pressure, and pruning before any tracked frame has fed the
+        # tracker would delete everything but the root chunk (found as
+        # exactly that failure: a 41-chunk tree pruned to capacity 1 on
+        # the first camera move of a small-max session).
+        if (self.model is not None and self._visits_valid
                 and self.max_tree_capacity - int(self.tree.capacity)
                 < opt.split_batch_size):
             self._prune()
@@ -816,6 +836,9 @@ class Viewer:
         from .ops import refine
         self.tree, self._visit_tracker = refine.prune_tree(
             self.tree, self._visit_tracker)
+        # the tracker was reset: require a fresh tracked frame before
+        # the next prune (the post-prune frame tracks, _prune_happened)
+        self._visits_valid = False
         self._leaf_map = None
         self._skip_table = None
 

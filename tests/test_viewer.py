@@ -281,20 +281,31 @@ def test_viewer_guided_segmented_collect():
         tree = sphere_tree(basis_dim=1, depth=3, max_capacity=3000)
         cam = Camera(16, 16, 7.0)     # wide FOV: many rays miss
         cam.center = np.array([-1.6, 0.2, 1.5], np.float32)
+        # split_batch_size below the capacity headroom: a session in
+        # the prune-pressure zone visit-tracks every moved frame and
+        # takes the exact collect path instead (reference semantics)
         v = Viewer(tree, camera=cam,
                    options=RenderOptions(use_guided_sampling=True,
-                                         max_guided_samples=8))
+                                         max_guided_samples=8,
+                                         split_batch_size=8))
         v.model = MegaNeRFModel.synthetic(
             data_dim=4, n_clusters=4, grid_dim=(2, 2),
             min_position=(-2, -2, -2), max_position=(2, 2, 2))
         v.use_guided_segments = flag
         v.render()                    # first invalidation builds hints
-        v.camera.move(np.array([0.05, 0.0, 0.0]))
-        imgs.append(np.asarray(v.render()))
-        if flag:                      # fixture truly exercised the path
+        if flag:                      # steady-hint classes derived
             assert v._guided_segments is not None
             assert v._guided_segments[0][1] == 0
             assert v._guided_segments[0][0] > 1.0 / 16.0
+        v.camera.move(np.array([0.05, 0.0, 0.0]))
+        # the moved frame runs the segmented collect (on a 16-px test
+        # frame the motion episode's dilation window spans the whole
+        # image, so re-derived classes may legitimately collapse to
+        # one budget — the steady classes above prove the reduced-
+        # budget structure)
+        imgs.append(np.asarray(v.render()))
+        if flag:
+            assert v._guided_segments is not None
     np.testing.assert_array_equal(imgs[1], imgs[0])
 
 
@@ -354,3 +365,87 @@ def test_refinement_stays_on_fast_march(monkeypatch):
         img = v.render()
         assert np.isfinite(img).all()
     assert int(v.tree.capacity) > cap0
+
+
+def test_guided_motion_no_ladder_rewalk(monkeypatch):
+    """Under sustained camera motion the guided collect must not
+    re-walk the budget-escalation ladder every pose: settled segment
+    ladders persist on the Viewer (collect_and_query_fast returns
+    them) and budget classes derive from sweep-dilated hints once per
+    motion episode.  Measured on v5e before persistence: 4 full
+    collect re-runs/pose and 5-6 s recompiles per novel tuple
+    (0.27 -> 2.74 fps at 1080p after)."""
+    from mega_nerf_viewer_tpu.ops import guided as guided_mod
+
+    calls = []
+    orig = guided_mod.collect_t_fast
+
+    def counting(*a, **kw):
+        calls.append(kw.get("segments"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(guided_mod, "collect_t_fast", counting)
+    tree = sphere_tree(basis_dim=1, depth=3, max_capacity=3000)
+    cam = Camera(16, 16, 7.0)
+    cam.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    v = Viewer(tree, camera=cam,
+               options=RenderOptions(use_guided_sampling=True,
+                                     max_guided_samples=8,
+                                     split_batch_size=8))
+    v.model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    v.render()                        # first invalidation (unordered)
+    segs_seen = []
+    for i in range(4):
+        v.camera.move(np.array([0.01, 0.0, 0.0]))
+        calls.clear()
+        img = v.render()
+        assert np.isfinite(img).all()
+        segs_seen.append(v._guided_segments)
+        if i >= 2:
+            # settled episode: exactly ONE collect, no ladder walk
+            assert len(calls) == 1, \
+                f"pose {i}: {len(calls)} collects (ladder re-walk)"
+    # settled ladder persists across poses (no oscillation)
+    assert segs_seen[-1] == segs_seen[-2]
+
+
+def test_prune_requires_tracked_visits():
+    """A capacity-pressure prune must never fire off an UNFED visit
+    tracker: the reference marks visits on every traced frame
+    (rt_core.cuh:133) so its tracker is always populated, but the
+    rebuild gates tracking — found as a 41-chunk tree pruned to
+    capacity 1 on the first camera move of a session whose
+    max_tree_capacity sat inside the split_batch_size pressure zone."""
+    tree = sphere_tree(basis_dim=1, depth=3, max_capacity=3000)
+    cam = Camera(16, 16, 7.0)
+    cam.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    v = Viewer(tree, camera=cam,
+               options=RenderOptions(use_guided_sampling=True,
+                                     max_guided_samples=8))
+    v.model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    cap0 = int(v.tree.capacity)
+    v.render()
+    for _ in range(3):
+        v.camera.move(np.array([0.01, 0.0, 0.0]))
+        v.render()
+    # pruning may drop chunks the tracked frames genuinely never
+    # visited, but never below the visited set of the current view
+    assert int(v.tree.capacity) > 1
+    # and with no pressure at all, capacity must be untouched
+    tree2 = sphere_tree(basis_dim=1, depth=3, max_capacity=3000)
+    v2 = Viewer(tree2, camera=Camera(16, 16, 7.0),
+                options=RenderOptions(use_guided_sampling=True,
+                                      max_guided_samples=8,
+                                      split_batch_size=8))
+    v2.camera.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    v2.model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    v2.render()
+    v2.camera.move(np.array([0.01, 0.0, 0.0]))
+    v2.render()
+    assert int(v2.tree.capacity) == cap0
