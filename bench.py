@@ -200,15 +200,22 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
             segmented_shard_body, opt=opt,
             seg_counts=tuple(seg_counts), chunk_size=cs, width=width))
 
-    def time_reps(fn):
+    def time_reps(fn, rounds=3):
+        # median of 3 independent rounds: a single averaged round is
+        # poisoned by transient stalls (observed one shard read
+        # 22.5 ms vs its 9.9 ms median when the compile service or
+        # tunnel hiccuped mid-round)
         out0 = fn()                       # warm
         float(out0.sum())
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        for _ in range(n_reps):
-            acc = acc + fn().sum()
-        float(acc)                        # force the chain
-        return (time.perf_counter() - t0) * 1000.0 / n_reps
+        vals = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for _ in range(n_reps):
+                acc = acc + fn().sum()
+            float(acc)                    # force the chain
+            vals.append((time.perf_counter() - t0) * 1000.0 / n_reps)
+        return sorted(vals)[rounds // 2]
 
     shard_ms = [time_reps(lambda s=s: body(
         tree, leaf_map, s, transform, intr, rot_dirs, skip_table)[0])
