@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--turbo", action="store_true",
                    help="max-empty-cube accelerated marching "
                         "(sub-1e-3 drift through empty space)")
+    p.add_argument("--foveation", type=int, default=1,
+                   help="approximate foveated mode: periphery rendered "
+                        "at 1/N resolution, center window exact "
+                        "(1 = off)")
     return p
 
 
@@ -130,6 +134,7 @@ def main(argv=None) -> int:
 
     viewer = Viewer(camera=camera, options=options)
     viewer.use_turbo_map = args.turbo
+    viewer.foveation = args.foveation
 
     if args.model_path:
         viewer.load_model(args.model_path)

@@ -32,6 +32,34 @@ from .utils.metrics import FpsCounter, FrameTimer
 from .utils.png import write_png
 
 
+def _fov_compose_impl(p, c, f, y0, x0, h, w):
+    """Nearest-upscale the periphery frame and paste the exact center
+    window (device-side; see Viewer._render_foveated)."""
+    import jax
+    up = jnp.repeat(jnp.repeat(p, f, axis=0), f, axis=1)
+    ph, pw = h - up.shape[0], w - up.shape[1]
+    if ph or pw:                         # W/H not divisible by f
+        up = jnp.pad(up, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return jax.lax.dynamic_update_slice(up, c, (y0, x0, 0))
+
+
+def _fov_compose(imgp, imgc, *, f: int, y0: int, x0: int,
+                 height: int, width: int):
+    # module-level jit: a per-call wrapper would recompile every frame
+    # (measured 623 ms/frame before this was hoisted)
+    global _fov_compose_jit
+    if _fov_compose_jit is None:
+        import functools
+        import jax
+        _fov_compose_jit = jax.jit(
+            _fov_compose_impl,
+            static_argnames=("f", "y0", "x0", "h", "w"))
+    return _fov_compose_jit(imgp, imgc, f, y0, x0, height, width)
+
+
+_fov_compose_jit = None
+
+
 class Viewer:
     def __init__(self,
                  tree: Optional[N3Tree] = None,
@@ -113,6 +141,9 @@ class Viewer:
         # allowed to exceed their class budget without escalating (the
         # moving-silhouette band; see _check_pending_overflow)
         self.motion_overflow_tolerance = 1.0 / 512.0
+        # async-policy flag-fetch cadence (1 = every frame; raise to
+        # amortize the per-fetch host round trip on slow links)
+        self.overflow_check_interval = 1
         # CDF-budget segmented guided collect (guided.py collect_t_fast
         # segments): once hints exist, hint-cheap ray classes march
         # with reduced record buffers (the ~half that record nothing
@@ -137,6 +168,18 @@ class Viewer:
         # level-6 prepass + 3-key sort; exactly 2048 hits a
         # pathological XLA layout (~+30%% on v5e).
         self.fast_chunk_size = 2176
+        # foveated APPROXIMATE mode (off by default, like turbo —
+        # never silently on): periphery rendered at 1/foveation
+        # resolution through the same fast path (a scaled camera) and
+        # nearest-upscaled; a center window stays full resolution (a
+        # pinhole crop is just an intrinsics shift, so its pixels run
+        # the exact ray math).  The algorithmic march-reduction lever
+        # PERFORMANCE.md's roadmap names: ray count drops to
+        # center_frac^2 + (1 - center_frac^2)/foveation^2 of the frame.
+        self.foveation = 1
+        self.foveation_center = 0.5       # center-window axis fraction
+        self._fov_sub = None              # (periphery, center) viewers
+        self._fov_key = None
         self._leaf_map = None
         # extra overlay meshes (triangles/lines/points, utils.mesh.Mesh)
         # composited like the reference GL mesh layer (mesh.cpp:135-166)
@@ -276,6 +319,13 @@ class Viewer:
         elif opt.show_grid or self.meshes:
             with self.timer.time("render"):
                 img, res = self._render_with_grid(track_visit)
+        elif (self.use_fast_path and self.tree.N == 2
+              and not track_visit and not needs_votes
+              and int(self.foveation) > 1
+              and not opt.render_depth):
+            # approximate foveated frame (explicit opt-in)
+            with self.timer.time("render"):
+                img = self._render_foveated(camera_changed)
         elif self.use_fast_path and self.tree.N == 2 \
                 and not track_visit:
             # leaf-map accelerated path (votes included when refining;
@@ -543,6 +593,76 @@ class Viewer:
             return img, res
         return img, None
 
+    def _render_foveated(self, camera_changed: bool):
+        """Foveated APPROXIMATE frame: periphery at 1/``foveation``
+        resolution + a full-resolution center window, both through the
+        segmented fast path, composed on device.
+
+        No reference counterpart (the CUDA viewer renders every pixel,
+        main.cpp:603-616) — this is a TPU-native interactive mode: the
+        march is gather-bound per RAY (PERFORMANCE.md), so cutting
+        peripheral rays 1/f^2 is the one lever the measured kernel
+        floors leave open on one chip.  The center window stays EXACT:
+        a pinhole crop only shifts cx/cy, so its rays run the same
+        math as the full frame (same 1e-5-class fusion-order drift as
+        any batch-shape change, PARITY.md).  Each sub-frame is its own
+        Viewer sharing tree/leaf-map/skip-table by reference, so
+        orders, hints, budget classes and overflow state settle
+        independently at each resolution."""
+        from .ops import accel
+        cam = self.camera
+        opt = self.options
+        f = int(self.foveation)
+        W, H = cam.width, cam.height
+        q = 2 * f
+        w1 = max(q, int(W * self.foveation_center) // q * q)
+        h1 = max(q, int(H * self.foveation_center) // q * q)
+        x0, y0 = (W - w1) // 2, (H - h1) // 2
+        key = (W, H, f, w1, h1)
+        if self._fov_key != key or self._fov_sub is None:
+            subs = []
+            for (w, h) in ((W // f, H // f), (w1, h1)):
+                v = Viewer(camera=Camera(w, h, 1.0), options=opt)
+                v.use_prepass = self.use_prepass
+                v.use_dynamic_knobs = self.use_dynamic_knobs
+                v.overflow_policy = self.overflow_policy
+                v.overflow_check_interval = self.overflow_check_interval
+                v.fast_chunk_size = min(self.fast_chunk_size,
+                                        max(256, (w * h) // 16))
+                subs.append(v)
+            self._fov_sub = tuple(subs)
+            self._fov_key = key
+        if self._leaf_map is None:
+            with self.timer.time("leaf_map_build"):
+                self._leaf_map = accel.build_leaf_map(self.tree)
+        if self.use_prepass and (
+                self._skip_table is None
+                or getattr(self, "_skip_thresh", None) != opt.sigma_thresh):
+            from .ops.pallas_march import build_skip_table
+            self._skip_table = build_skip_table(self.tree, opt.sigma_thresh)
+            self._skip_thresh = opt.sigma_thresh
+        intr = ((cam.fx / f, cam.fy / f, cam.cx / f, cam.cy / f),
+                (cam.fx, cam.fy, cam.cx - x0, cam.cy - y0))
+        imgs = []
+        for v, (fx, fy, cx, cy) in zip(self._fov_sub, intr):
+            v.tree = self.tree
+            v._leaf_map = self._leaf_map
+            v._skip_table = self._skip_table
+            v._skip_thresh = getattr(self, "_skip_thresh", None)
+            v.options = opt
+            sc = v.camera
+            sc.fx, sc.fy, sc.cx, sc.cy = fx, fy, cx, cy
+            sc.center = cam.center.copy()
+            sc.v_back = cam.v_back.copy()
+            sc.v_world_up = cam.v_world_up.copy()
+            sc._update()
+            if camera_changed:
+                v._order_stale = True
+            img, _ = v._render_fast(need_votes=False)
+            imgs.append(jnp.asarray(img))
+        return _fov_compose(imgs[0], imgs[1], f=f, y0=y0, x0=x0,
+                            height=H, width=W)
+
     def _estimate_dilation(self, attr: str = "_order_back"):
         """Quantized hint-dilation window from the camera delta since
         the hints' pose: pixel sweep ~ fx * tan(view-direction angle).
@@ -575,6 +695,15 @@ class Viewer:
         pending = self._pending_ov
         if pending is None:
             return
+        if self.overflow_policy == "async":
+            # amortize the flag fetch: each fetch is a host round trip
+            # (~1 ms production, ~27 ms through the dev tunnel).  With
+            # interval K the newest frame's flags are inspected every
+            # Kth frame — staleness escalation is delayed <= K frames,
+            # inside the async policy's transient-truncation contract.
+            self._ov_frame = getattr(self, "_ov_frame", 0) + 1
+            if self._ov_frame % max(1, int(self.overflow_check_interval)):
+                return                    # keep the newest pending flags
         self._pending_ov = None
         segments, seg_ov, fb_ov, R = pending
         counts = np.asarray(seg_ov)

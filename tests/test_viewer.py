@@ -449,3 +449,52 @@ def test_prune_requires_tracked_visits():
     v2.camera.move(np.array([0.01, 0.0, 0.0]))
     v2.render()
     assert int(v2.tree.capacity) == cap0
+
+
+def test_foveated_center_window_exact():
+    """Foveated mode: the full-resolution center window must match the
+    exact frame (a pinhole crop is only an intrinsics shift), the
+    periphery must be f x f block-constant (nearest upscale of the
+    1/f-resolution pass), and the composed frame has the full shape."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    cen = np.array([-1.5, 0.2, 1.4], np.float32)
+    v = Viewer(tree, camera=Camera(64, 48, 60.0))
+    v.camera.center = cen.copy()
+    full = np.asarray(v.render())
+    v2 = Viewer(tree, camera=Camera(64, 48, 60.0))
+    v2.camera.center = cen.copy()
+    v2.foveation = 2
+    fov = np.asarray(v2.render())
+    assert fov.shape == full.shape
+    f, frac, W, H = 2, v2.foveation_center, 64, 48
+    q = 2 * f
+    w1 = max(q, int(W * frac) // q * q)
+    h1 = max(q, int(H * frac) // q * q)
+    x0, y0 = (W - w1) // 2, (H - h1) // 2
+    np.testing.assert_allclose(fov[y0:y0 + h1, x0:x0 + w1],
+                               full[y0:y0 + h1, x0:x0 + w1],
+                               rtol=0, atol=1e-4)
+    blk = fov[:y0].reshape(y0 // f, f, W // f, f, 4)
+    assert np.array_equal(blk, np.broadcast_to(
+        blk[:, :1, :, :1], blk.shape))
+    # motion frames stay finite and keep the contract
+    for _ in range(2):
+        v2.camera.move(np.array([0.02, 0.0, 0.0]))
+        fov = np.asarray(v2.render())
+        assert np.isfinite(fov).all()
+
+
+def test_foveated_requires_opt_in():
+    """foveation stays off (exact frames) unless explicitly raised,
+    and vote/guided/depth frames never take the approximate route."""
+    tree = sphere_tree(basis_dim=1, depth=3)
+    v = Viewer(tree, camera=Camera(32, 24, 20.0))
+    v.camera.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    assert v.foveation == 1
+    base = np.asarray(v.render())
+    v.foveation = 2
+    v.options = v.options.replace(render_depth=True)
+    v._can_reuse_results = False
+    depth_img = np.asarray(v.render())    # depth mode: exact path
+    assert depth_img.shape == base.shape
+    assert v._fov_sub is None             # approximate route not taken
