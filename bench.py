@@ -147,6 +147,16 @@ def main():
               f"body of the sharded program timed on 1 chip, scalar "
               f"pmax is the only intra-frame collective, ICI transfer "
               f"unmeasured)", file=sys.stderr)
+        # stated model for the unmeasured ICI residual (not folded into
+        # the projection): the frame's only bulk collective is the
+        # output all-gather of [R/8, 4] f32 rows — each chip moves
+        # 7/8 x R/8 x 16 B over ICI.
+        ici_mb = 7.0 / 8.0 * (width * 1080 // 8) * 16 / 1e6
+        print(f"# modeled ICI residual: ~{ici_mb:.1f} MB/chip output "
+              f"all-gather; at >=45 GB/s per v5e ICI link that is "
+              f"~{ici_mb / 45e3 * 1e3:.2f} ms (<2% of a shard), so the "
+              f"projection is transfer-insensitive; model stated, not "
+              f"measured", file=sys.stderr)
     except Exception as e:  # projection is best-effort reporting
         print(f"# v5e-8 projection unavailable: {e!r}", file=sys.stderr)
 
