@@ -783,7 +783,7 @@ def _unpermute_frame_jit(out_flat, inv):
 def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                            opt: RenderOptions, chunk_size: int = 1 << 15,
                            skip_table=None, order=None,
-                           segments=None):
+                           segments=None, budget_hint=None):
     """Leaf-map accelerated guided collection + MLP query, fully
     device-resident (reference invalidation path,
     cuda_renderer.cpp:107-134).
@@ -818,6 +818,19 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     total = None
     steps_s = None
     settled_segs = None
+    spec = None
+    if budget_hint:
+        budget_hint = -(-int(budget_hint) // (1 << 16)) * (1 << 16)
+    # ray-space setup is collect-independent: hoisted so the
+    # speculative branch below can enqueue reconstruct+query with it
+    if order is not None:
+        # rays (and their derived per-sample rows) live in sorted space
+        perm_r = order[0][:R]
+        dirs_r = dirs_p.at[perm_r].get(unique_indices=True, mode="clip")
+    else:
+        perm_r = None
+        dirs_r = dirs
+    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs_r)
     # Ordered collects stay in SORTED ray space end to end: rank k of
     # every array is ray perm[k] (the pad tail was appended after the
     # sorted ranks, so ranks [0, R) are exactly the real rays).  The
@@ -842,11 +855,34 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
                 order=order, segments=tuple(segs),
                 return_steps=True, keep_sorted=True)
             t_buf, ns = t_buf[:R], ns[:R]
-            stats = np.asarray(jnp.concatenate(
+            # enqueue the tiny stats op FIRST: the device runs work in
+            # enqueue order, so it completes right after the collect —
+            # the host fetch below then overlaps the speculative fused
+            # program instead of waiting behind it
+            stats_dev = jnp.concatenate(
                 [jnp.sum(ns, dtype=jnp.int32)[None],
-                 seg_ov.astype(jnp.int32)]))     # ONE combined fetch
+                 seg_ov.astype(jnp.int32)])
+            if budget_hint:
+                # SPECULATIVE budget execution: enqueue the fused
+                # reconstruct+query at the caller's hinted budget
+                # BEFORE the stats fetch, so the fetch's host round
+                # trip (~1 ms production, ~27 ms dev tunnel) overlaps
+                # device execution instead of serializing the
+                # pipeline.  Discarded if a segment overflowed (the
+                # t-buffer is budget-truncated) or the true total
+                # exceeds the hint (the compact buffer would silently
+                # drop samples, see _compact_reconstruct padding).
+                spec = _reconstruct_and_query(
+                    model.params, tree, dirs_r, vdirs, cen, t_buf, ns,
+                    jnp.asarray(model.grid_dim, jnp.int32),
+                    jnp.asarray(model.min_position, jnp.float32),
+                    jnp.asarray(model.range, jnp.float32), opt,
+                    budget_hint)
+            stats = np.asarray(stats_dev)        # ONE combined fetch
             total = int(stats[0])
             ov = stats[1:] > 0
+            if ov.any():
+                spec = None                      # stale t-buffer
             if not ov.any():
                 # expose the SETTLED ladder so the caller can start the
                 # next invalidation here instead of re-walking the
@@ -871,13 +907,6 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
             tree, leaf_map, dirs_p, cen, opt, chunk_size=chunk_size,
             skip_table=skip_table, return_steps=True)
         t_buf, ns, steps_s = t_buf[:R], ns[:R], steps_s[:R]
-    if order is not None:
-        # rays (and their derived per-sample rows) live in sorted space
-        perm_r = order[0][:R]
-        dirs_r = dirs_p.at[perm_r].get(unique_indices=True, mode="clip")
-    else:
-        dirs_r = dirs
-    vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs_r)
     if total is None:
         total = int(jnp.sum(ns))             # one scalar fetch
     # static compact budget: next 64k multiple (power-of-2 sizing
@@ -885,11 +914,15 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
     # op, the grouped matmuls included, paid for the padding; 64k
     # granularity keeps the jit-key count bounded at ~1.5% padding)
     budget = max(1 << 16, -(-total // (1 << 16)) * (1 << 16))
-    res_c, z_c, ray_of_p, offs, vdirs_c = _reconstruct_and_query(
-        model.params, tree, dirs_r, vdirs, cen, t_buf, ns,
-        jnp.asarray(model.grid_dim, jnp.int32),
-        jnp.asarray(model.min_position, jnp.float32),
-        jnp.asarray(model.range, jnp.float32), opt, budget)
+    if spec is not None and total <= budget_hint:
+        res_c, z_c, ray_of_p, offs, vdirs_c = spec
+        budget = budget_hint                 # arrays are hint-sized
+    else:
+        res_c, z_c, ray_of_p, offs, vdirs_c = _reconstruct_and_query(
+            model.params, tree, dirs_r, vdirs, cen, t_buf, ns,
+            jnp.asarray(model.grid_dim, jnp.int32),
+            jnp.asarray(model.min_position, jnp.float32),
+            jnp.asarray(model.range, jnp.float32), opt, budget)
     out = dict(
         results_c=res_c,
         z_c=z_c,
@@ -921,6 +954,12 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         # evaluate the SH basis in-register instead of re-gathering
         # [M, basis] rows (62 ms at M=2^21, measured)
         out["vdirs_c"] = vdirs_c
+    # budget hint for the caller's NEXT invalidation: one extra 64k
+    # quantum of hysteresis keeps it valid under slow total drift, so
+    # the speculative dispatch usually lands (and the executable family
+    # stays bounded)
+    out["budget_hint_next"] = max(
+        1 << 16, -(-total // (1 << 16)) * (1 << 16)) + (1 << 16)
     return out
 
 

@@ -848,7 +848,13 @@ class Viewer:
                         self.tree, self._leaf_map, self.model, cam, opt,
                         chunk_size=self.fast_chunk_size,
                         skip_table=skip_table, order=g_order,
-                        segments=segs)
+                        segments=segs,
+                        budget_hint=(getattr(self, "_guided_budget_hint",
+                                             None)
+                                     if segs is not None else None))
+                    if "budget_hint_next" in cache:
+                        self._guided_budget_hint = \
+                            cache["budget_hint_next"]
                     if segs is not None and "segments" in cache:
                         # escalations settle HERE: the next invalidation
                         # starts at the settled ladder instead of

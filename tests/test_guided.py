@@ -366,3 +366,51 @@ def test_segmented_collect_identical_and_escalates():
     total = int(ns.sum())
     np.testing.assert_array_equal(_pixel_rows(a, total)[0],
                                   _pixel_rows(c, total)[0])
+
+
+def test_speculative_budget_identical():
+    """collect_and_query_fast with a budget_hint (speculative fused
+    dispatch ahead of the stats fetch) must produce outputs identical
+    to the unhinted call, for an adequate hint (speculation lands), an
+    undersized hint (redo at the true budget), and under escalation
+    (speculation discarded with the stale t-buffer)."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=1, depth=4)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1))
+    opt = RenderOptions(max_guided_samples=16)
+    cam = Camera(24, 18, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+
+    a = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                      chunk_size=64)
+    ns = np.asarray(a["num_samples"])
+    total = int(ns.sum())
+    order = accel.order_from_hints(np.zeros(ns.shape[0], np.int32), ns)
+    segs = guided.segments_from_ns_hints(ns, opt.max_guided_samples)
+    base = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                         chunk_size=64, order=order,
+                                         segments=segs)
+    assert base["budget_hint_next"] >= total
+    for hint in (base["budget_hint_next"], 1):   # adequate, undersized
+        b = guided.collect_and_query_fast(
+            tree, lm, model, cam, opt, chunk_size=64, order=order,
+            segments=segs, budget_hint=hint)
+        np.testing.assert_array_equal(ns, np.asarray(b["num_samples"]))
+        np.testing.assert_array_equal(_pixel_rows(base, total)[0],
+                                      _pixel_rows(b, total)[0])
+        np.testing.assert_allclose(_pixel_rows(base, total)[1],
+                                   _pixel_rows(b, total)[1],
+                                   rtol=0, atol=1e-6)
+    # escalation path: starved classes force a re-collect; the
+    # speculative results from the truncated buffer must be discarded
+    c = guided.collect_and_query_fast(
+        tree, lm, model, cam, opt, chunk_size=64, order=order,
+        segments=((0.5, 0), (0.4, 1), (0.1, 16)),
+        budget_hint=base["budget_hint_next"])
+    np.testing.assert_array_equal(ns, np.asarray(c["num_samples"]))
+    np.testing.assert_array_equal(_pixel_rows(base, total)[0],
+                                  _pixel_rows(c, total)[0])
