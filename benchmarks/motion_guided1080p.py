@@ -41,6 +41,7 @@ def main():
     n_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     deg = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    foveation = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     width, height = 1920, 1080
 
     tree = shell_tree(depth=8, basis_dim=1, sigma_inside=400.0)
@@ -61,6 +62,7 @@ def main():
                                      max_guided_samples=S))
     v.model = model
     v.fast_chunk_size = 1920
+    v.foveation = foveation
 
     def orbit_step():
         v.camera.begin_drag(0.0, 0.0, False, True)
@@ -92,6 +94,7 @@ def main():
         "poses": n_poses,
         "deg_per_pose": deg,
         "max_guided_samples": S,
+        "foveation": foveation,
     }))
     print("# full guided invalidation per pose: collect march + "
           "compact reconstruct + grouped MLP + device order rebuild + "

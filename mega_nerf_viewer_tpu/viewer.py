@@ -313,19 +313,23 @@ class Viewer:
         needs_votes = (opt.use_splitting and not cam.is_dragging()
                        and self.model is not None)
         res = None
-        if opt.use_guided_sampling and not cam.is_dragging() \
+        fov_ok = (self.use_fast_path and self.tree.N == 2
+                  and not track_visit and not needs_votes
+                  and int(self.foveation) > 1
+                  and not opt.render_depth
+                  and not opt.show_grid and not self.meshes)
+        if fov_ok:
+            # approximate foveated frame (explicit opt-in); covers the
+            # plain fast path AND guided sampling (each sub-viewer runs
+            # its own guided pipeline at its resolution)
+            with self.timer.time("render"):
+                img = self._render_foveated(camera_changed)
+        elif opt.use_guided_sampling and not cam.is_dragging() \
                 and self.model is not None:
             img, res = self._render_guided(track_visit)
         elif opt.show_grid or self.meshes:
             with self.timer.time("render"):
                 img, res = self._render_with_grid(track_visit)
-        elif (self.use_fast_path and self.tree.N == 2
-              and not track_visit and not needs_votes
-              and int(self.foveation) > 1
-              and not opt.render_depth):
-            # approximate foveated frame (explicit opt-in)
-            with self.timer.time("render"):
-                img = self._render_foveated(camera_changed)
         elif self.use_fast_path and self.tree.N == 2 \
                 and not track_visit:
             # leaf-map accelerated path (votes included when refining;
@@ -643,6 +647,13 @@ class Viewer:
             self._skip_thresh = opt.sigma_thresh
         intr = ((cam.fx / f, cam.fy / f, cam.cx / f, cam.cy / f),
                 (cam.fx, cam.fy, cam.cx - x0, cam.cy - y0))
+        # guided sampling runs per sub-viewer at its own resolution
+        # (collect march, MLP query, budget classes, result cache all
+        # scale with the sub-frame's ray count); while dragging the
+        # reference renders voxels instead (cuda_renderer.cpp:107) and
+        # the subs do the same via their fast path
+        guided_ok = (opt.use_guided_sampling and self.model is not None
+                     and not cam.is_dragging())
         imgs = []
         for v, (fx, fy, cx, cy) in zip(self._fov_sub, intr):
             v.tree = self.tree
@@ -650,6 +661,8 @@ class Viewer:
             v._skip_table = self._skip_table
             v._skip_thresh = getattr(self, "_skip_thresh", None)
             v.options = opt
+            v.model = self.model if guided_ok else None
+            v.use_pallas_composite = self.use_pallas_composite
             sc = v.camera
             sc.fx, sc.fy, sc.cx, sc.cy = fx, fy, cx, cy
             sc.center = cam.center.copy()
@@ -658,7 +671,11 @@ class Viewer:
             sc._update()
             if camera_changed:
                 v._order_stale = True
-            img, _ = v._render_fast(need_votes=False)
+                v._can_reuse_results = False
+            if guided_ok:
+                img, _ = v._render_guided(False)
+            else:
+                img, _ = v._render_fast(need_votes=False)
             imgs.append(jnp.asarray(img))
         return _fov_compose(imgs[0], imgs[1], f=f, y0=y0, x0=x0,
                             height=H, width=W)

@@ -498,3 +498,39 @@ def test_foveated_requires_opt_in():
     depth_img = np.asarray(v.render())    # depth mode: exact path
     assert depth_img.shape == base.shape
     assert v._fov_sub is None             # approximate route not taken
+
+
+def test_foveated_guided_center_exact():
+    """Foveated + guided sampling: each sub-viewer runs its own guided
+    pipeline; the full-resolution center window must match the exact
+    guided frame, and static-camera frames reuse the sub caches."""
+    tree = sphere_tree(basis_dim=1, depth=4)
+    cen = np.array([-1.5, 0.2, 1.4], np.float32)
+    opts = RenderOptions(use_guided_sampling=True, max_guided_samples=8,
+                         split_batch_size=8)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    v = Viewer(tree, camera=Camera(64, 48, 60.0), options=opts)
+    v.camera.center = cen.copy()
+    v.model = model
+    full = np.asarray(v.render())
+    v2 = Viewer(tree, camera=Camera(64, 48, 60.0), options=opts)
+    v2.camera.center = cen.copy()
+    v2.model = model
+    v2.foveation = 2
+    fov = np.asarray(v2.render())
+    f, frac, W, H = 2, v2.foveation_center, 64, 48
+    q = 2 * f
+    w1 = max(q, int(W * frac) // q * q)
+    h1 = max(q, int(H * frac) // q * q)
+    x0, y0 = (W - w1) // 2, (H - h1) // 2
+    np.testing.assert_allclose(fov[y0:y0 + h1, x0:x0 + w1],
+                               full[y0:y0 + h1, x0:x0 + w1],
+                               rtol=0, atol=1e-4)
+    for _ in range(2):
+        v2.camera.move(np.array([0.02, 0.0, 0.0]))
+        assert np.isfinite(np.asarray(v2.render())).all()
+    a = np.asarray(v2.render())
+    b = np.asarray(v2.render())       # static camera: sub caches serve
+    assert np.array_equal(a, b)
