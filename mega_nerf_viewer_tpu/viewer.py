@@ -226,6 +226,11 @@ class Viewer:
         # escalation, but would thrash it)
         self._guided_segments = None
         self._guided_seg_src = None
+        # foveated sub-viewers carry their own frame/guided caches and
+        # hint state for the OLD tree: a tree swap with a parked camera
+        # would otherwise serve stale sub-frames
+        self._fov_sub = None
+        self._fov_key = None
 
     def clear(self):
         self.tree = None
@@ -242,6 +247,8 @@ class Viewer:
             self.options = self.options.replace(appearance_embedding=0)
         self._can_reuse_results = False
         self._guided_cache = None
+        self._fov_sub = None              # subs cache per-model results
+        self._fov_key = None
 
     def resize(self, width: int, height: int):
         """Resize the virtual framebuffer (reference ``Impl::resize``,

@@ -534,3 +534,18 @@ def test_foveated_guided_center_exact():
     a = np.asarray(v2.render())
     b = np.asarray(v2.render())       # static camera: sub caches serve
     assert np.array_equal(a, b)
+
+
+def test_foveated_tree_swap_not_stale():
+    """set(new_tree) with a PARKED camera must not serve stale foveated
+    sub-frames (the sub-viewers cache per-tree results and hints)."""
+    t1 = sphere_tree(basis_dim=1, depth=3)
+    t2 = sphere_tree(basis_dim=1, depth=3, sigma_inside=0.0)  # transparent
+    v = Viewer(t1, camera=Camera(32, 24, 20.0))
+    v.camera.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    v.foveation = 2
+    a = np.asarray(v.render())
+    v.set(t2)
+    b = np.asarray(v.render())
+    assert not np.array_equal(a, b), "stale foveated frame after set()"
+    assert b[..., 3].max() < a[..., 3].max()  # transparent scene
