@@ -78,15 +78,26 @@ def main():
     n_rebuilds_warm = 0
     state0 = np.array(v.camera.transform)
 
-    # timed motion run
+    # timed motion run.  The Viewer defaults to use_device_order=True,
+    # so order rebuilds go through order_from_hints_device (the host
+    # path order_from_hints is spied too for use_device_order=False
+    # runs); both are module-level lookups inside viewer.py, so the
+    # monkeypatch sees every rebuild, including the order=None re-hint
+    # frames' initial build.
     rebuilds = [0]
     from mega_nerf_viewer_tpu.ops import accel
-    orig = accel.order_from_hints
+    orig_host = accel.order_from_hints
+    orig_dev = accel.order_from_hints_device
 
-    def counting(*a, **k):
+    def counting_host(*a, **k):
         rebuilds[0] += 1
-        return orig(*a, **k)
-    accel.order_from_hints = counting
+        return orig_host(*a, **k)
+
+    def counting_dev(*a, **k):
+        rebuilds[0] += 1
+        return orig_dev(*a, **k)
+    accel.order_from_hints = counting_host
+    accel.order_from_hints_device = counting_dev
     try:
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
@@ -96,7 +107,8 @@ def main():
         float(acc)                             # force the whole chain
         dt = time.perf_counter() - t0
     finally:
-        accel.order_from_hints = orig
+        accel.order_from_hints = orig_host
+        accel.order_from_hints_device = orig_dev
 
     fps = n_poses / dt
     print(json.dumps({

@@ -674,6 +674,12 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
     steps_l, nrec_l, skips_l = [], [], []
     off = 0
     for c_chunks, md in seg_counts:
+        if c_chunks == 0:
+            # ray-floor chunk quantization (segment_chunks) can assign
+            # an empty layout slot to a tiny class; keep the overflow
+            # vector index-aligned with the caller's segment list
+            ovs.append(jnp.zeros((), jnp.int32))
+            continue
         n = c_chunks * chunk_size
         sl = slice(off, off + n)
         res = render_rays_fast(
@@ -819,7 +825,7 @@ def _argsort_small_keys(keys: np.ndarray) -> tuple:
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "window"))
-def dilate_hints(steps, nrec, skips, *, width: int, height: int,
+def dilate_hints(steps, nrec, skips=None, *, width: int, height: int,
                  window: int):
     """Motion-compensate per-ray hints by a 2-D max dilation.
 
@@ -847,24 +853,44 @@ def dilate_hints(steps, nrec, skips, *, width: int, height: int,
                                      jnp.roll(img, -k, axis)))
                 k *= 2
         return img.reshape(-1)
-    return pool(steps), pool(nrec), pool(skips)
+    # skips is optional: the guided path dilates only (steps, ns) and
+    # shouldn't pay a third full-frame sweep for a discarded output
+    return pool(steps), pool(nrec), (None if skips is None
+                                     else pool(skips))
+
+
+def class_ladder(top: int) -> tuple:
+    """The power-of-two budget-class ladder (0, 1, 2, ..., top): the
+    bounded jit-key family every CDF-derived segment tuple draws its
+    budgets from (render path: dense-record classes; guided path:
+    per-ray sample classes with top = max_guided_samples)."""
+    classes = [0]
+    c = 1
+    while c < top:
+        classes.append(c)
+        c *= 2
+    classes.append(int(top))
+    return tuple(classes)
 
 
 @functools.partial(jax.jit, static_argnames=("classes",))
 def hint_class_cdf(nrec, classes: tuple = (0, 1, 2, 4, 8)):
     """Device-side CDF of per-ray record hints over the budget-class
-    ladder: counts[i] = #rays with nrec <= classes[i].  A [len] i32
-    fetch is all a caller needs to derive CDF-matched segment
-    fractions (vs fetching the full [R] hint array)."""
+    ladder, plus the hint MAX as the trailing entry: counts[i] = #rays
+    with nrec <= classes[i], out[-1] = max(nrec).  A [len+1] i32 fetch
+    is all a caller needs to derive CDF-matched segment fractions AND
+    a top budget that actually covers the heaviest ray (vs fetching
+    the full [R] hint array)."""
     nrec = jnp.asarray(nrec, jnp.int32)
     return jnp.stack([jnp.sum((nrec <= c).astype(jnp.int32))
-                      for c in classes])
+                      for c in classes] + [jnp.max(nrec)])
 
 
 def segments_from_hint_cdf(cdf_counts, R: int,
                            classes: tuple = (0, 1, 2, 4, 8),
                            quant: int = 16,
-                           headroom: bool = False) -> tuple:
+                           headroom: bool = False,
+                           max_budget: int = 128) -> tuple:
     """(fraction, max_dense) segments from a hint-class CDF.
 
     Fractions are FLOORED to 1/``quant`` so every class boundary sits
@@ -872,8 +898,13 @@ def segments_from_hint_cdf(cdf_counts, R: int,
     budget whenever the keys used for sorting upper-bound the true
     record counts (exact hints on a parked camera).  Quantization
     keeps the tuple a bounded jit-key family.  The last class takes
-    the remainder at the ladder top; rays beyond it escalate via the
-    overflow protocol.
+    the remainder, with a budget that COVERS the observed hint max
+    (``cdf_counts[-1]`` when the CDF carries the hint_class_cdf
+    trailing max entry) rounded up to the next ladder step: a fixed
+    ``classes[-1]`` top used to livelock scenes whose heaviest rays
+    record more — every re-hint derivation reset the escalated top
+    back below the true need and the next frame re-overflowed.  Rays
+    beyond the (capped) top still escalate via the overflow protocol.
 
     ``headroom=True`` (motion): each non-zero class gets the NEXT
     ladder budget.  Dilated hints bound silhouette sweeps (spatially
@@ -885,6 +916,14 @@ def segments_from_hint_cdf(cdf_counts, R: int,
     The zero class keeps budget 0: empty interiors are exactly what
     dilation does bound."""
     counts = np.asarray(cdf_counts)
+    top = int(classes[-1])
+    if counts.shape[0] == len(classes) + 1:
+        # trailing entry = observed hint max; round up the final class
+        # budget along the power-of-two ladder (bounded tuple family)
+        need = int(counts[-1])
+        counts = counts[:-1]
+        while top < need and top < max_budget:
+            top = max(1, top * 2)
     segs = []
     used = 0.0
     for i, (c, cnt) in enumerate(zip(classes[:-1], counts[:-1])):
@@ -894,7 +933,7 @@ def segments_from_hint_cdf(cdf_counts, R: int,
             md = int(classes[i + 1]) if (headroom and c > 0) else int(c)
             segs.append((f - used, md))
             used = f
-    segs.append((1.0 - used, int(classes[-1])))
+    segs.append((1.0 - used, top))
     return tuple(segs)
 
 
@@ -1121,25 +1160,40 @@ def render_frame_fast(tree: N3Tree, leaf_map: LeafMap,
     return tuple(ret)
 
 
-def segment_chunks(n_chunks: int, segments) -> tuple:
+def segment_chunks(n_chunks: int, segments,
+                   n_rays: Optional[int] = None,
+                   chunk_size: Optional[int] = None) -> tuple:
     """Resolve (fraction, max_dense) segments into whole-chunk counts.
-    The last segment absorbs the rounding remainder; every segment gets
-    at least one chunk when ``n_chunks >= len(segments)``.  With fewer
-    chunks than segments, tail segments receive ZERO chunks (never
-    negative) — callers with per-segment kernels should prefer their
-    small-frame degenerate path (one full-budget march) instead."""
+
+    Boundaries are CUMULATIVE FLOORS: segment i ends at
+    floor(sum(frac[:i+1]) * n_chunks) chunks (or, when ``n_rays`` and
+    ``chunk_size`` are given, at floor(cumfrac * n_rays / chunk_size) —
+    exact even when the last chunk is partial).  Flooring is the load-
+    bearing property: each class boundary sits AT OR BELOW its ray
+    fraction, so rays sorted by record hints genuinely fit their class
+    budget whenever the derivation's fractions do (the "classes
+    provably fit" contract, segments_from_hint_cdf).  The previous
+    nearest-rounding (+ a 1-chunk minimum) pushed boundaries PAST
+    their CDF points whenever the derivation's 1/16-floor slack was
+    smaller than a chunk, leaking next-class rays into a smaller
+    budget — a permanent per-frame overflow/re-hint loop on a parked
+    camera.  A segment may now get ZERO chunks (its rays land in the
+    next, larger-budget class); consumers skip empty slots but keep
+    the overflow vector index-aligned.  The last segment absorbs the
+    remainder."""
     counts = []
     used = 0
+    cumfrac = 0.0
     for i, (frac, md) in enumerate(segments):
-        left = n_chunks - used
+        cumfrac += frac
         if i == len(segments) - 1:
-            c = left
+            tgt = n_chunks
+        elif n_rays is not None and chunk_size is not None:
+            tgt = min(n_chunks, int(cumfrac * n_rays) // chunk_size)
         else:
-            reserve = max(0, min(left - 1, len(segments) - 1 - i))
-            c = max(1, round(frac * n_chunks))
-            c = max(0, min(c, left - reserve))
-        counts.append((c, md))
-        used += c
+            tgt = min(n_chunks, int(cumfrac * n_chunks))
+        counts.append((max(0, tgt - used), md))
+        used = max(used, tgt)
     return tuple(counts)
 
 
@@ -1220,7 +1274,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     res = _frame_core(
         tree, leaf_map, perm, inv, transform, intr, rot_dirs, bg_value,
         dyn, skip_table, opt=opt, width=w,
-        seg_counts=segment_chunks(n_chunks, segments),
+        seg_counts=segment_chunks(n_chunks, segments, n_rays=R,
+                                  chunk_size=chunk_size),
         chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
         return_hints=return_hints, group=group,
         device_fallback=device_fallback)

@@ -322,6 +322,11 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             t_parts, ns_parts, st_parts, ovs = [], [], [], []
             off = 0
             for c_chunks, S_seg in seg_counts:
+                if c_chunks == 0:
+                    # empty layout slot (ray-floor chunk quantization);
+                    # keep the overflow vector index-aligned
+                    ovs.append(jnp.asarray(False))
+                    continue
                 n = c_chunks * chunk_size
                 S_eff = min(S_seg, S)
                 out = collect_t_fast(

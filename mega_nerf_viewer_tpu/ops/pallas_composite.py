@@ -206,12 +206,25 @@ def _make_compact_kernel(out_dim: int, basis_dim: int, sigma_idx: int,
 
         mul = lambda a, b: a * b
         add = lambda a, b: a + b
+        carry_in = carry_ref[0, 0]
         fP, P = lane_seg_scan(start_i, wc_eff, mul)
-        P, p_carry = row_fold(fP, P, mul, carry_ref[0, 0])
-        # exclusive transmittance: P is the inclusive segmented
-        # product, so T_i = P_i / wc_eff_i (wc_eff > 0; ~1 ulp vs the
-        # shift form, inside the 1e-3 budget)
-        T = P / wc_eff
+        P, p_carry = row_fold(fP, P, mul, carry_in)
+        # exclusive transmittance by a carried shift: T_i = 1 at a
+        # segment start, else the PREVIOUS element's inclusive product
+        # (lane i-1 in-row; the prior row's lane 127 across rows; the
+        # block carry for the first element).  NOT P_i / wc_eff_i —
+        # exp(-sigma*delta) flushes to exactly 0.0 for an opaque
+        # sample (sigma*delta >= ~88, f32 + TPU subnormal flush) and
+        # the division then yields NaN; the shift form matches the
+        # XLA compositor's prods[:-1] semantics bit-for-bit.
+        Pprev = roll(P, 1)
+        rows = []
+        prev_last = carry_in
+        for r in range(_SUB):
+            pr = jnp.where(lane128 == 0, prev_last, Pprev[r:r + 1, :])
+            rows.append(pr)
+            prev_last = P[r, 127]
+        T = jnp.where(start_i != 0, 1.0, jnp.concatenate(rows, axis=0))
         weight = jnp.where(is_last & valid, T,
                            jnp.where(valid, T * (1.0 - wc), 0.0))
 

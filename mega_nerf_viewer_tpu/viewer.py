@@ -394,6 +394,10 @@ class Viewer:
         res carries split/sample votes when requested (else None)."""
         from .ops import accel
         from .ops.render import RenderResult
+        # whether THIS frame renders under a camera move (render() set
+        # _order_stale on change): the async truncation tolerance only
+        # applies to moving frames — a parked frame must be exact
+        frame_moved = bool(self._order_stale)
         # retune budgets/hints from the PREVIOUS frame's device-computed
         # overflow flags before reading this frame's order/segments
         if self.overflow_policy in ("async", "device"):
@@ -511,7 +515,8 @@ class Viewer:
                 # retune budgets/hints
                 out = run_segmented(True)
                 votes, fb = unpack(out, True)
-                self._pending_ov = (list(segments), out[1], fb, R)
+                self._pending_ov = (list(segments), out[1], fb, R,
+                                    frame_moved)
                 overflow = False
                 img = out[0]
                 if need_votes:
@@ -524,7 +529,7 @@ class Viewer:
                 out = run_segmented(False)
                 votes, _ = unpack(out, False)
                 self._pending_ov = (list(segments), out[1],
-                                    jnp.asarray(False), R)
+                                    jnp.asarray(False), R, frame_moved)
                 overflow = False
                 img = out[0]
                 if need_votes:
@@ -643,9 +648,23 @@ class Viewer:
                 subs.append(v)
             self._fov_sub = tuple(subs)
             self._fov_key = key
+        # same turbo-map validity envelope as _render_fast: a turbo map
+        # built at a higher sigma_thresh marks now-dense cells as empty
+        # cubes once the threshold drops — rebuild, don't march it
+        turbo_thresh = getattr(self, "_leaf_map_turbo_thresh", None)
+        if self._leaf_map is not None and turbo_thresh is not None and (
+                opt.sigma_thresh < turbo_thresh or not self.use_turbo_map):
+            self._leaf_map = None
         if self._leaf_map is None:
             with self.timer.time("leaf_map_build"):
-                self._leaf_map = accel.build_leaf_map(self.tree)
+                if self.use_turbo_map:
+                    self._leaf_map = accel.build_turbo_leaf_map(
+                        self.tree, sigma_thresh=opt.sigma_thresh)
+                    self._leaf_map_turbo_thresh = opt.sigma_thresh
+                else:
+                    self._leaf_map = accel.build_leaf_map(self.tree)
+                    self._leaf_map_turbo_thresh = None
+                self._skip_table = None
         if self.use_prepass and (
                 self._skip_table is None
                 or getattr(self, "_skip_thresh", None) != opt.sigma_thresh):
@@ -661,10 +680,25 @@ class Viewer:
         # the subs do the same via their fast path
         guided_ok = (opt.use_guided_sampling and self.model is not None
                      and not cam.is_dragging())
+        # propagate the parent's cache-invalidation events (camera
+        # change, tree refinement via _expand_voxels, resize — whatever
+        # cleared _can_reuse_results) to the sub-viewers, which hold
+        # their own guided caches; consume the flag so steady foveated
+        # frames keep reusing sub caches, and drop the parent's own
+        # guided cache so a later non-foveated frame can't serve it
+        if not self._can_reuse_results:
+            self._guided_cache = None
+            for v in self._fov_sub:
+                v._can_reuse_results = False
+                v._guided_cache = None
+            self._can_reuse_results = True
         imgs = []
         for v, (fx, fy, cx, cy) in zip(self._fov_sub, intr):
             v.tree = self.tree
             v._leaf_map = self._leaf_map
+            v._leaf_map_turbo_thresh = getattr(
+                self, "_leaf_map_turbo_thresh", None)
+            v.use_turbo_map = self.use_turbo_map
             v._skip_table = self._skip_table
             v._skip_thresh = getattr(self, "_skip_thresh", None)
             v.options = opt
@@ -729,18 +763,21 @@ class Viewer:
             if self._ov_frame % max(1, int(self.overflow_check_interval)):
                 return                    # keep the newest pending flags
         self._pending_ov = None
-        segments, seg_ov, fb_ov, R = pending
+        segments, seg_ov, fb_ov, R, moved = pending
         counts = np.asarray(seg_ov)
-        # In "async" mode a bounded truncation band is already the
-        # contract (silhouette-sweep rays change record class every
+        # In "async" mode a bounded truncation band is the contract
+        # UNDER MOTION (silhouette-sweep rays change record class every
         # moved frame; the next frame's fresh order re-classes them),
         # so escalating budgets — 102 -> 264 ms/frame measured once
         # walked up, plus a recompile per new ladder tuple — for a
         # handful of band rays is a net loss.  Escalate only past the
-        # tolerance; "device"/"sync" stay strict (exactness is their
-        # point).
+        # tolerance — and only for frames that rendered under a camera
+        # move: a PARKED frame's truncation would persist identically
+        # every subsequent frame, so it gets tol 0 and escalates
+        # immediately (transient by protocol, never steady-state).
+        # "device"/"sync" stay strict (exactness is their point).
         tol = 0
-        if self.overflow_policy == "async":
+        if self.overflow_policy == "async" and moved:
             tol = int(R * self.motion_overflow_tolerance)
         ov = counts > tol
         if not ov.any():
@@ -750,8 +787,14 @@ class Viewer:
             # leave budgets above the steady need — both come back
             # down in one derivation instead of oscillating through a
             # halving ladder (which compiled novel tuples and
-            # re-overflowed; measured).
-            self._clean_streak += 1
+            # re-overflowed; measured).  Only TRULY clean frames count:
+            # a tolerated truncation band caps its rays' nrec hints at
+            # the starved class budget, and a derivation from capped
+            # hints would freeze heavy rays in too-small classes.
+            if counts.sum() == 0:
+                self._clean_streak += 1
+            else:
+                self._clean_streak = 0
             if (self._clean_streak >= 8 and self.use_device_order
                     and not self._order_stale
                     and self._last_hints is not None
@@ -906,7 +949,7 @@ class Viewer:
                         attr="_guided_back")
                     if window:
                         st_h, ns_h, _ = accel.dilate_hints(
-                            st_h, ns_h, st_h, width=cam.width,
+                            st_h, ns_h, width=cam.width,
                             height=cam.height, window=window)
                     self._guided_order = order_from_ns_steps_device(
                         ns_h, st_h)
@@ -920,20 +963,15 @@ class Viewer:
                         if (self._guided_segments is None
                                 or getattr(self, "_guided_seg_src",
                                            None) != src):
-                            S = int(opt.max_guided_samples)
-                            classes = [0]
-                            c = 1
-                            while c < S:
-                                classes.append(c)
-                                c *= 2
-                            classes.append(S)
+                            classes = accel.class_ladder(
+                                int(opt.max_guided_samples))
                             cdf = accel.hint_class_cdf(
-                                ns_h, classes=tuple(classes))
+                                ns_h, classes=classes)
                             self._guided_segments = \
                                 accel.segments_from_hint_cdf(
                                     np.asarray(cdf),
                                     cam.width * cam.height,
-                                    classes=tuple(classes),
+                                    classes=classes,
                                     headroom=bool(window))
                             self._guided_seg_src = src
                     res = None

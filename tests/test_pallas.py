@@ -130,3 +130,37 @@ def test_pallas_composite_nondivisible_rows(rng):
         jnp.asarray(vdirs), opt, 1, interpret=True))
     assert got.shape == (13, 4)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_compact_composite_opaque_no_nan(rng):
+    """A fully opaque sample (sigma*delta large enough that
+    exp(-sigma*delta) underflows to exactly 0.0) must not poison the
+    segmented transmittance: regression for the P/wc_eff division form,
+    which yielded 0/0 = NaN at the opaque sample and NaN pixels for the
+    whole ray (rt_core.cuh:363-368 semantics: T simply reaches 0)."""
+    from mega_nerf_viewer_tpu.ops.pallas_composite import \
+        composite_results_compact_pallas
+    res_c, z, ray_of_p, offs, ns, _, out_dim = _compact_data(
+        rng, basis_dim=1)
+    R = ns.shape[0]
+    sigma_idx = min(3, out_dim - 1)
+    # first sample of every ray with >= 2 samples goes opaque: its wc
+    # underflows to 0.0 yet later samples in the segment still need a
+    # finite (zero) transmittance, not NaN
+    starts = np.concatenate([[0], offs[:-1]]).astype(np.int64)
+    res_c[starts[ns >= 2], sigma_idx] = 1e8
+    vdirs_ray = rng.randn(R, 3).astype(f32)
+    vdirs_ray /= np.linalg.norm(vdirs_ray, axis=-1, keepdims=True)
+    vdirs_c = vdirs_ray[ray_of_p]
+    opt = RenderOptions()
+    want = np.asarray(guided.composite_results_compact(
+        jnp.asarray(res_c), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vdirs_ray),
+        opt, 1, True))
+    got = np.asarray(composite_results_compact_pallas(
+        jnp.asarray(res_c), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vdirs_c),
+        opt, 1, True, interpret=True))
+    assert np.isfinite(got).all(), "NaN/inf leaked from opaque samples"
+    assert np.isfinite(want).all()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -549,3 +549,102 @@ def test_foveated_tree_swap_not_stale():
     b = np.asarray(v.render())
     assert not np.array_equal(a, b), "stale foveated frame after set()"
     assert b[..., 3].max() < a[..., 3].max()  # transparent scene
+
+
+def test_sync_segments_settle_heavy_recorders():
+    """A scene whose heaviest rays record more than the base ladder top
+    (8 dense samples) must SETTLE under the sync policy: the CDF
+    derivation sizes the final class from the observed hint max, so a
+    parked camera renders one segmented frame per frame.  Regression
+    for the escalate -> re-hint -> reset-to-8 livelock (two renders per
+    frame forever)."""
+    # low interior sigma: rays cross the whole sphere without early
+    # termination, recording ~20 dense samples (> the base ladder top)
+    t = sphere_tree(basis_dim=1, depth=4, sigma_inside=2.0)
+    v = Viewer(t, camera=Camera(48, 36, 30.0))
+    v.camera.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    # small enough that the frame genuinely segments (the degenerate
+    # fewer-chunks-than-classes path marches at the max budget instead)
+    v.fast_chunk_size = 128
+    v.render()                                  # hint frame + derivation
+    # precondition: the scenario actually has heavy recorders
+    assert max(md for _, md in v._segments) > 8, \
+        "test scene too thin to exercise the >8-record ladder top"
+    from mega_nerf_viewer_tpu.ops import accel
+    calls = {"rehint": 0}
+    orig = accel.render_frame_fast
+
+    def spy(*a, **k):
+        # the order-None re-hint frame is the only unordered caller
+        # (render_frame_fast_segmented's degenerate path passes order=)
+        if k.get("order") is None:
+            calls["rehint"] += 1
+        return orig(*a, **k)
+    accel.render_frame_fast = spy
+    try:
+        a = np.asarray(v.render())
+        b = np.asarray(v.render())
+    finally:
+        accel.render_frame_fast = orig
+    assert calls["rehint"] == 0, \
+        "parked frames re-walked the escalation/re-hint ladder"
+    assert np.array_equal(a, b)
+
+
+def test_async_parked_truncation_escalates():
+    """The async truncation tolerance applies only to frames rendered
+    under camera MOTION; a parked frame's overflow band would persist
+    identically every frame, so it escalates immediately (tol 0).  A
+    tolerated moving-frame band must not count toward the clean streak
+    (its hints are capped at the starved budgets)."""
+    t = sphere_tree(basis_dim=1, depth=3)
+    v = Viewer(t, camera=Camera(32, 24, 20.0))
+    v.overflow_policy = "async"
+    v.overflow_check_interval = 1
+    v.render()
+    R = 32 * 24
+    segs = [(0.5, 0), (0.5, 8)]
+    # parked frame (moved=False) with a 1-ray band: escalate
+    v._segments = list(segs)
+    v._pending_ov = (list(segs), np.array([1, 0]), np.asarray(False),
+                     R, False)
+    v._check_pending_overflow()
+    assert v._ray_order is None, "parked truncation was not escalated"
+    assert v._segments[0][1] == 1               # 0 -> max(1, 0*2)
+    # moving frame (moved=True) with the same band: tolerated,
+    # budgets unchanged, but the streak resets (frame wasn't clean)
+    v._segments = list(segs)
+    v._clean_streak = 5
+    v._pending_ov = (list(segs), np.array([1, 0]), np.asarray(False),
+                     R, True)
+    v._check_pending_overflow()
+    assert [md for _, md in v._segments] == [0, 8]
+    assert v._clean_streak == 0
+
+
+def test_foveated_guided_refinement_not_stale():
+    """A tree edit that clears the parent's _can_reuse_results (the
+    _expand_voxels invalidation) must reach the foveated sub-viewers'
+    guided caches: a parked camera would otherwise serve sub-frames
+    collected from the pre-edit tree."""
+    t1 = sphere_tree(basis_dim=1, depth=4)
+    t2 = sphere_tree(basis_dim=1, depth=4, sigma_inside=0.0)
+    opts = RenderOptions(use_guided_sampling=True, max_guided_samples=8,
+                         split_batch_size=8)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+    v = Viewer(t1, camera=Camera(64, 48, 60.0), options=opts)
+    v.camera.center = np.array([-1.5, 0.2, 1.4], np.float32)
+    v.model = model
+    v.foveation = 2
+    a = np.asarray(v.render())
+    # mimic _expand_voxels' effect: tree object replaced, leaf map
+    # dropped, caches invalidated — without going through set()
+    v.tree = t2
+    v._leaf_map = None
+    v._skip_table = None
+    v._can_reuse_results = False
+    b = np.asarray(v.render())
+    assert not np.array_equal(a, b), \
+        "stale foveated guided frame after tree edit"
