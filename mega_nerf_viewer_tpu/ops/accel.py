@@ -290,6 +290,62 @@ def normalize_static(opt: RenderOptions) -> RenderOptions:
                        render_bbox=(0.0,) * 6, rot_dirs=(0.0,) * 3)
 
 
+def leaf_lookup(leaf_map: LeafMap, child_flat: jax.Array,
+                sigma_flat: jax.Array, posc: jax.Array,
+                N: int, N3: int):
+    """One march-step leaf resolution, shared VERBATIM by the render
+    march (render_rays_fast) and the guided collect march
+    (guided.collect_t_fast) — their bit-exactness contract requires
+    both to execute exactly this sequence (reference
+    query_single_from_root, rt_core.cuh:117-159, restarted from the
+    leaf map's level-L row instead of the root).
+
+    ``posc`` = clipped tree-space positions [r, 3].  Returns
+    (node, depth, sigma): the flat leaf index, its depth, and its
+    sigma.  Rows cache (node, depth, sigma-f16, internal) for cells at
+    or above the map level; deeper subtrees resume the child-table
+    descent from the stored level-L chunk (``deep_levels`` bounded
+    iterations, one child gather each)."""
+    G = leaf_map.grid
+    cell = jnp.floor(posc * G).astype(jnp.int32)
+    lin = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+    row = jnp.take(leaf_map.rows, lin, axis=0, mode="clip")  # [r, 2]
+    node = row[:, 0]
+    meta = row[:, 1]
+    depth = meta & _DEPTH_BITS
+    sigma = _f16_bits_to_f32((meta >> 16) & 0xFFFF)
+    if leaf_map.deep_levels > 0:
+        internal = (meta & _INTERNAL_BIT) != 0
+        # resume descent from the stored level-L chunk
+        u = posc * (1 << leaf_map.level)
+        fxyz = u - jnp.floor(u)
+        chunk = node
+        cidx = jnp.zeros_like(node)
+        ddepth = depth
+        done = ~internal
+        for _ in range(leaf_map.deep_levels + 1):
+            upd = ~done
+            u2 = fxyz * N
+            digs = jnp.floor(u2)
+            idx2 = (digs[:, 0] * (N * N) + digs[:, 1] * N
+                    + digs[:, 2]).astype(jnp.int32)
+            skip = jnp.take(child_flat, chunk * N3 + idx2,
+                            mode="clip")
+            leaf = skip == 0
+            fxyz = jnp.where(upd[:, None], u2 - digs, fxyz)
+            cidx = jnp.where(upd, idx2, cidx)
+            chunk = jnp.where(upd & ~leaf, chunk + skip, chunk)
+            ddepth = jnp.where(upd & ~leaf, ddepth + 1, ddepth)
+            done = done | leaf
+        node_deep = chunk * N3 + cidx
+        node = jnp.where(internal, node_deep, node)
+        depth = jnp.where(internal, ddepth, depth)
+        sigma_deep = jnp.take(sigma_flat, node_deep,
+                              mode="clip").astype(jnp.float32)
+        sigma = jnp.where(internal, sigma_deep, sigma)
+    return node, depth, sigma
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("opt", "max_dense", "chunk_size", "unroll",
@@ -330,8 +386,6 @@ def render_rays_fast(tree: N3Tree,
     data_dim = tree.data_dim
     basis_dim = tree.data_format.basis_dim
     use_sh = tree.data_format.format == "SH" and basis_dim >= 1
-    G = leaf_map.grid
-    rows_flat = leaf_map.rows
     child_flat = tree.child.reshape(-1)
     sigma_flat = tree.data.reshape(-1, data_dim)[:, data_dim - 1]
     counts_flat = tree.sample_counts.reshape(-1)
@@ -411,42 +465,8 @@ def render_rays_fast(tree: N3Tree,
             nsteps = nsteps + active
             pos = cen_c + t[:, None] * d_c
             posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
-            cell = jnp.floor(posc * G).astype(jnp.int32)
-            lin = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
-            row = jnp.take(rows_flat, lin, axis=0, mode="clip")  # [r, 2]
-            node = row[:, 0]
-            meta = row[:, 1]
-            depth = meta & _DEPTH_BITS
-            sigma = _f16_bits_to_f32((meta >> 16) & 0xFFFF)
-            if leaf_map.deep_levels > 0:
-                internal = (meta & _INTERNAL_BIT) != 0
-                # resume descent from the stored level-L chunk
-                u = posc * (1 << leaf_map.level)
-                fxyz = u - jnp.floor(u)
-                chunk = node
-                cidx = jnp.zeros_like(node)
-                ddepth = depth
-                done = ~internal
-                for _ in range(leaf_map.deep_levels + 1):
-                    upd = ~done
-                    u2 = fxyz * N
-                    digs = jnp.floor(u2)
-                    idx2 = (digs[:, 0] * (N * N) + digs[:, 1] * N
-                            + digs[:, 2]).astype(jnp.int32)
-                    skip = jnp.take(child_flat, chunk * N3 + idx2,
-                                    mode="clip")
-                    leaf = skip == 0
-                    fxyz = jnp.where(upd[:, None], u2 - digs, fxyz)
-                    cidx = jnp.where(upd, idx2, cidx)
-                    chunk = jnp.where(upd & ~leaf, chunk + skip, chunk)
-                    ddepth = jnp.where(upd & ~leaf, ddepth + 1, ddepth)
-                    done = done | leaf
-                node_deep = chunk * N3 + cidx
-                node = jnp.where(internal, node_deep, node)
-                depth = jnp.where(internal, ddepth, depth)
-                sigma_deep = jnp.take(sigma_flat, node_deep,
-                                      mode="clip").astype(jnp.float32)
-                sigma = jnp.where(internal, sigma_deep, sigma)
+            node, depth, sigma = leaf_lookup(
+                leaf_map, child_flat, sigma_flat, posc, N, N3)
 
             cube = jnp.exp2(depth.astype(jnp.float32)) if N == 2 else \
                 jnp.power(jnp.float32(N), depth.astype(jnp.float32))

@@ -359,7 +359,10 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
         outs = collect_t_fast(
             tree, leaf_map, dirs_s, cen_world, opt,
             chunk_size=chunk_size, skip_table=skip_table,
-            return_steps=return_steps)
+            with_overflow=with_overflow, return_steps=return_steps)
+        ov_tail = ()
+        if with_overflow:
+            outs, ov_tail = outs[:-1], outs[-1:]
         if not keep_sorted:
             outs = tuple(unperm(a) for a in outs)
         if segments is not None:
@@ -367,14 +370,12 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             # classes): one full-budget march — no class can starve,
             # so no flag can raise
             return outs + (jnp.zeros((len(segments),), bool),)
-        return outs
-    from .accel import _f16_bits_to_f32
+        return outs + ov_tail
+    from .accel import leaf_lookup
     N, N3 = tree.N, tree.N3
     R = dirs.shape[0]
     S = opt.max_guided_samples
     data_dim = tree.data_dim
-    G = leaf_map.grid
-    rows_flat = leaf_map.rows
     child_flat = tree.child.reshape(-1)
     sigma_flat = tree.data.reshape(-1, data_dim)[:, data_dim - 1]
 
@@ -411,38 +412,12 @@ def collect_t_fast(tree: N3Tree, leaf_map, dirs: jax.Array,
             nst = nst + active
             pos = cen_c + t[:, None] * d_c
             posc = jnp.clip(pos, 0.0, jnp.float32(1.0 - 1e-6))
-            cell = jnp.floor(posc * G).astype(jnp.int32)
-            lin = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
-            row = jnp.take(rows_flat, lin, axis=0, mode="clip")
-            meta = row[:, 1]
-            depth = meta & 31
-            sigma = _f16_bits_to_f32((meta >> 16) & 0xFFFF)
-            if leaf_map.deep_levels > 0:
-                internal = (meta & (1 << 5)) != 0
-                u0 = posc * (1 << leaf_map.level)
-                fxyz = u0 - jnp.floor(u0)
-                chunk = row[:, 0]
-                ddepth = depth
-                done = ~internal
-                cidx = jnp.zeros_like(chunk)
-                for _ in range(leaf_map.deep_levels + 1):
-                    upd = ~done
-                    u2 = fxyz * N
-                    digs = jnp.floor(u2)
-                    idx2 = (digs[:, 0] * (N * N) + digs[:, 1] * N
-                            + digs[:, 2]).astype(jnp.int32)
-                    skip = jnp.take(child_flat, chunk * N3 + idx2,
-                                    mode="clip")
-                    leaf = skip == 0
-                    fxyz = jnp.where(upd[:, None], u2 - digs, fxyz)
-                    cidx = jnp.where(upd, idx2, cidx)
-                    chunk = jnp.where(upd & ~leaf, chunk + skip, chunk)
-                    ddepth = jnp.where(upd & ~leaf, ddepth + 1, ddepth)
-                    done = done | leaf
-                sigma_deep = jnp.take(sigma_flat, chunk * N3 + cidx,
-                                      mode="clip").astype(jnp.float32)
-                sigma = jnp.where(internal, sigma_deep, sigma)
-                depth = jnp.where(internal, ddepth, depth)
+            # shared leaf resolution (accel.leaf_lookup): the render
+            # and collect marches must execute the SAME sequence for
+            # their t trajectories to stay bit-identical; node is
+            # unused here (records carry only t) and DCEs away
+            _, depth, sigma = leaf_lookup(
+                leaf_map, child_flat, sigma_flat, posc, N, N3)
             cube = jnp.exp2(depth.astype(jnp.float32))
             u = posc * cube[:, None]
             frac = u - jnp.floor(u)
@@ -639,13 +614,10 @@ def segments_from_ns_hints(ns, max_samples: int,
     purpose: they are static jit keys, and the caller should reuse one
     segmentation across camera moves rather than re-deriving per frame.
     """
+    from .accel import class_ladder
     ns = np.asarray(ns)
-    classes = [0]
-    c = 1
-    while c < max_samples:
-        classes.append(c)
-        c *= 2
-    segs = []
+    classes = class_ladder(max_samples)[:-1]   # top handled by the
+    segs = []                                  # final remainder append
     used = 0.0
     for cl in classes:
         f = np.floor(float((ns <= cl).mean()) * quant) / quant \
@@ -709,9 +681,17 @@ def composite_results_compact(res_c: jax.Array,     # [M, out_dim]
     p = jnp.arange(M, dtype=jnp.int32)
     total = offs[-1]
     valid = p < total
-    start = offs[ray_of_p] - ns[ray_of_p]
-    is_start = (p == start) & valid
-    is_last = (p == offs[ray_of_p] - 1) & valid
+    # segment flags from neighbor SHIFTS of the sorted ray_of_p (the
+    # same derivation as the Pallas prep) — the equivalent
+    # offs[ray_of_p]/ns[ray_of_p] forms are two [M]-row gathers
+    # (~10 ns/row each, PERFORMANCE.md fact 1) for flags the shifts
+    # produce with pure elementwise work
+    prev_r = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), ray_of_p[:-1]])
+    next_r = jnp.concatenate(
+        [ray_of_p[1:], jnp.full((1,), -1, jnp.int32)])
+    is_start = valid & (ray_of_p != prev_r)
+    is_last = valid & ((ray_of_p != next_r) | (p == total - 1))
     same_next = jnp.concatenate(
         [(ray_of_p[1:] == ray_of_p[:-1]), jnp.zeros((1,), bool)])
     z_next = jnp.concatenate([z_c[1:], jnp.zeros((1,), jnp.float32)])
@@ -734,7 +714,8 @@ def composite_results_compact(res_c: jax.Array,     # [M, out_dim]
         basis = masked_sh_basis(basis_dim, vdirs,
                                 opt.basis_minmax[0],
                                 opt.basis_minmax[1])          # [R, B]
-        b_p = jnp.take(basis, ray_of_p, axis=0)               # [M, B]
+        b_p = basis.at[ray_of_p].get(indices_are_sorted=True,
+                                     mode="clip")             # [M, B]
         coeffs = res_c[:, :3 * basis_dim].reshape(M, 3, basis_dim)
         logits = jnp.einsum("mb,mcb->mc", b_p, coeffs)
         contrib = weight[:, None] * jax.nn.sigmoid(logits)    # [M, 3]
@@ -957,8 +938,14 @@ def collect_and_query_fast(tree: N3Tree, leaf_map, model, camera,
         # per-sample viewdirs were already materialized as MLP input
         # columns — keep them so the Pallas compact compositor can
         # evaluate the SH basis in-register instead of re-gathering
-        # [M, basis] rows (62 ms at M=2^21, measured)
+        # [M, basis] rows (62 ms at M=2^21, measured).  They are only
+        # valid for the COLLECT-time camera/rot_dirs: the reference
+        # (and the XLA route) re-evaluates SH from the CURRENT frame's
+        # view directions every composite (rt_core.cuh:334-416), so
+        # composite_frame must not shade with these once the viewdir
+        # inputs moved — record their signature for the route gate
         out["vdirs_c"] = vdirs_c
+        out["vdirs_sig"] = _viewdir_signature(camera, opt)
     # budget hint for the caller's NEXT invalidation: one extra 64k
     # quantum of hysteresis keeps it valid under slow total drift, so
     # the speculative dispatch usually lands (and the executable family
@@ -1084,6 +1071,18 @@ def collect_and_query(tree: N3Tree, model, camera, opt: RenderOptions,
     return cache, rres
 
 
+def _viewdir_signature(camera, opt: RenderOptions) -> tuple:
+    """Hashable signature of everything per-sample view directions
+    depend on (camera pose/intrinsics + the rot_dirs Rodrigues knob):
+    collect-time cached viewdirs are reusable for shading exactly
+    while this matches the composite-time value."""
+    return (np.asarray(camera.transform, np.float32).tobytes(),
+            float(camera.fx), float(camera.fy),
+            float(camera.cx), float(camera.cy),
+            camera.width, camera.height,
+            tuple(float(r) for r in opt.rot_dirs))
+
+
 def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
                     use_pallas=None):
     """Per-frame composite of cached MLP results
@@ -1113,6 +1112,9 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
         if (use_pallas is not False and fmt_sh
                 and not opt.render_depth
                 and cache.get("vdirs_c") is not None
+                and ("vdirs_sig" not in cache
+                     or cache["vdirs_sig"] == _viewdir_signature(
+                         camera, opt))
                 and M % (pc._SUB * 128) == 0
                 and not getattr(pc, "_compact_broken", False)):
             try:

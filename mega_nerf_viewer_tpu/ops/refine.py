@@ -403,25 +403,38 @@ def aggregate_split_votes_device(split_vote: jax.Array, N3: int,
     packed = (split_vote[:, 1].astype(jnp.int32) * N3
               + split_vote[:, 2].astype(jnp.int32))
     packed = jnp.where(valid_in, packed, -1)
-    # size must bound ALL possible unique nodes (= vote rows), not K+1:
-    # a smaller size makes jnp.unique keep the numerically-smallest ids,
-    # biasing selection to low node ids instead of top vote counts
-    uniq, counts = jnp.unique(packed, return_counts=True,
-                              size=packed.shape[0], fill_value=-1)
-    # priority (= depth) of each unique node: gather from any voting ray
-    first_ray = jnp.searchsorted(jnp.sort(packed), uniq)
-    order_rays = jnp.argsort(packed)
-    prio = jnp.take(split_vote[:, 0],
-                    jnp.take(order_rays, jnp.clip(first_ray, 0,
-                                                  packed.shape[0] - 1)))
-    keep = (uniq >= 0) & (counts > 1)
-    # lexicographic (-count, priority): stable argsort by priority, then
-    # by -count; invalid rows pushed last via +inf count key
+    Rn = packed.shape[0]
+    # ONE sort + neighbor shifts replace the former
+    # jnp.unique(size=R) + searchsorted(sort, uniq): split_vote is
+    # frame-sized, and searchsorted lowers to ~log2(R) chained gathers
+    # (347 ms at 2M rows on v5e, PERFORMANCE.md fact 2 / guided.py's
+    # ray_of_p treatment).  Each unique node is represented at its
+    # FIRST position in the sorted array; its vote count is the run
+    # length (next start index - start index, one forward and one
+    # reverse cumulative scan).
+    order_rays = jnp.argsort(packed, stable=True)
+    sp = jnp.take(packed, order_rays)
+    pos = jnp.arange(Rn, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+    start_or_big = jnp.where(is_start, pos, jnp.int32(Rn))
+    from_right = jnp.flip(jax.lax.cummin(jnp.flip(start_or_big)))
+    next_start = jnp.concatenate(
+        [from_right[1:], jnp.full((1,), Rn, jnp.int32)])
+    counts = next_start - pos                  # run length at starts
+    # priority (= depth) of each node: its first voting ray in sorted
+    # order (any voter works; the policy only sorts by depth)
+    prio = jnp.take(split_vote[:, 0], order_rays)
+    keep = is_start & (sp >= 0) & (counts > 1)
+    # lexicographic (-count, priority): stable argsort by priority,
+    # then by -count; invalid rows pushed last via +inf count key.
+    # Ties resolve by sorted position = ascending node id, exactly as
+    # the unique-based form did (jnp.unique returns ascending ids).
     neg_count = jnp.where(keep, -counts, jnp.iinfo(jnp.int32).max)
     i1 = jnp.argsort(prio, stable=True)
     i2 = jnp.argsort(jnp.take(neg_count, i1), stable=True)
     order = jnp.take(i1, i2)[:K]
-    return (jnp.take(uniq, order), jnp.take(prio, order),
+    return (jnp.take(sp, order), jnp.take(prio, order),
             jnp.take(keep, order))
 
 

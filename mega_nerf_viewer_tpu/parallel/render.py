@@ -183,6 +183,11 @@ def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
     outs, ovs = [], []
     off = 0
     for c_chunks, md in seg_counts:
+        if c_chunks == 0:
+            # empty layout slot (ray-floor chunk quantization,
+            # accel.segment_chunks); keep overflow index-aligned
+            ovs.append(jnp.zeros((), jnp.int32))
+            continue
         n = c_chunks * chunk_size
         sl = slice(off, off + n)
         res = render_rays_fast(

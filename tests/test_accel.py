@@ -668,3 +668,52 @@ def test_zero_record_segment_depth_mode():
     # the specific round-2 repro: every depth-mode pixel is opaque, so
     # the composited frame carries no background anywhere
     assert np.asarray(img1)[..., 3].min() == 1.0
+
+
+def test_segment_chunks_floor_invariant():
+    """Chunk boundaries must sit AT OR BELOW their cumulative ray
+    fractions (the 'classes provably fit' contract): nearest-rounding
+    pushed boundaries past CDF points whenever the 1/16-floor slack was
+    under a chunk.  Zero-chunk slots are allowed; the last segment
+    absorbs the remainder."""
+    segs = ((0.125, 0), (0.3125, 1), (0.1875, 2), (0.125, 4), (0.25, 8))
+    for R, cs in ((1728, 128), (2073600, 2176), (1000, 300)):
+        n_chunks = (R + cs - 1) // cs
+        counts = accel.segment_chunks(n_chunks, segs, n_rays=R,
+                                      chunk_size=cs)
+        assert len(counts) == len(segs)
+        assert sum(c for c, _ in counts) == n_chunks
+        cum_rays, cum_frac = 0, 0.0
+        for (c, _), (f, _) in zip(counts[:-1], segs[:-1]):
+            cum_rays += c * cs
+            cum_frac += f
+            assert cum_rays <= cum_frac * R + 1e-6, (R, cs, counts)
+    # degenerate fewer-chunks-than-segments still sums correctly
+    counts = accel.segment_chunks(3, segs)
+    assert sum(c for c, _ in counts) == 3
+
+
+def test_segmented_shard_body_zero_chunk_slot():
+    """segmented_shard_body must skip zero-chunk layout slots (the
+    ray-floor quantization can emit them mid-list) and keep the
+    overflow vector aligned with the segment list."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.parallel.render import segmented_shard_body
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lm = accel.build_leaf_map(tree)
+    opt = RenderOptions()
+    cs = 64
+    seg_counts = ((1, 0), (0, 1), (2, 8))       # mid-list empty slot
+    per = sum(c for c, _ in seg_counts) * cs
+    cam = Camera(per, 1, 40.0)
+    cam.center = np.array([-1.6, 0.2, 1.5], np.float32)
+    cam._update()
+    pix = jnp.arange(per, dtype=jnp.int32)
+    out, ov = segmented_shard_body(
+        tree, lm, pix, jnp.asarray(cam.transform),
+        jnp.asarray((cam.fx, cam.fy, cam.cx, cam.cy), jnp.float32),
+        jnp.asarray(opt.rot_dirs, jnp.float32), None,
+        opt=opt, seg_counts=seg_counts, chunk_size=cs, width=per)
+    assert out.shape == (per, 4)
+    assert ov.shape == (len(seg_counts),)
+    assert int(ov[1]) == 0                      # empty slot: no overflow

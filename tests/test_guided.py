@@ -414,3 +414,34 @@ def test_speculative_budget_identical():
     np.testing.assert_array_equal(ns, np.asarray(c["num_samples"]))
     np.testing.assert_array_equal(_pixel_rows(base, total)[0],
                                   _pixel_rows(c, total)[0])
+
+
+def test_composite_route_gate_on_viewdir_change():
+    """The auto-routed Pallas compact compositor shades with COLLECT-
+    time per-sample viewdirs (cache["vdirs_c"]); once rot_dirs (or the
+    camera) moves after collection, the route gate must fall back to
+    the XLA path, which re-evaluates SH from the CURRENT view
+    directions every composite — the reference recomputes per-frame
+    (rt_core.cuh:334-416), so a rot_dirs change must be visible even
+    on a cached collection."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=4, depth=3)
+    model = MegaNeRFModel.synthetic(
+        data_dim=13, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-1, -1, -1), max_position=(1, 1, 1),
+        need_viewdir=True)
+    opt = RenderOptions(max_guided_samples=16, need_viewdir=True)
+    cam = Camera(12, 10, 14.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+    cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                          chunk_size=0)
+    assert "vdirs_sig" in cache
+    base = np.asarray(guided.composite_frame(tree, cam, opt, cache))
+    opt2 = opt.replace(rot_dirs=(0.35, -0.2, 0.1))
+    auto = np.asarray(guided.composite_frame(tree, cam, opt2, cache))
+    xla = np.asarray(guided.composite_frame(tree, cam, opt2, cache,
+                                            use_pallas=False))
+    np.testing.assert_array_equal(auto, xla)     # gate took the XLA route
+    assert not np.array_equal(auto, base)        # rot_dirs change visible

@@ -260,3 +260,28 @@ def test_device_vote_aggregation_not_biased_to_low_ids():
     got = set(int(n) for n, ok in zip(np.asarray(nodes),
                                       np.asarray(valid)) if ok)
     assert 90 * N3 + 5 in got
+
+
+def test_device_vote_aggregation_matches_host_randomized():
+    """Randomized host-vs-device equivalence for the sort+run-length
+    aggregation (which replaced jnp.unique + searchsorted — the latter
+    cost ~347 ms at frame scale on v5e).  Depth is a function of the
+    node (as in real vote frames), so host row-unique == node-unique."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.ops.refine import (
+        aggregate_split_votes, aggregate_split_votes_device)
+    rng = np.random.RandomState(7)
+    N3 = 8
+    for K in (4, 300):
+        R = 600
+        chunks = rng.randint(0, 25, R)
+        cidx = rng.randint(0, N3, R)
+        depth = ((chunks * N3 + cidx) % 5 + 1).astype(np.float32)
+        votes = np.stack([depth, chunks, cidx], 1).astype(np.float32)
+        votes[rng.rand(R) < 0.3, 1:] = -1          # non-voting rays
+        host = aggregate_split_votes(votes, K)
+        nodes, _, valid = aggregate_split_votes_device(
+            jnp.asarray(votes), N3, K)
+        nodes = np.asarray(nodes)[np.asarray(valid)]
+        got = np.stack([nodes // N3, nodes % N3], axis=1)
+        np.testing.assert_array_equal(got, host)
