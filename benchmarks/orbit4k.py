@@ -70,9 +70,12 @@ def main():
 
     poses = []
     for f in range(n_frames):
-        angle = 2.0 * np.pi * (f + 1) / max(n_frames, 1)
+        # constant per-pose increment: each drag rotates RELATIVE to
+        # the current pose, so the step (not the absolute angle) must
+        # be 2*pi/n for one uniformly-spaced orbit
+        step = 2.0 * np.pi / max(n_frames, 1)
         cam.begin_drag(0.0, 0.0, False, True)
-        cam.drag_update(-angle * width / 2.0, 0.0)
+        cam.drag_update(-step * width / 2.0, 0.0)
         cam.end_drag()
         cam._update()
         _, ovh, steps, nrec, skips = accel.render_frame_fast(

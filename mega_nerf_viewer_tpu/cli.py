@@ -169,12 +169,17 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     for f in range(args.frames):
-        if args.orbit and args.frames > 1:
-            angle = 2.0 * np.pi * f / args.frames
+        if args.orbit and args.frames > 1 and f:
+            # each drag is INCREMENTAL from the current pose, so apply
+            # the constant per-frame step 2*pi/frames (the absolute
+            # angle here compounded quadratically: frame f ended up at
+            # sum_k 2*pi*k/F instead of 2*pi*f/F — a non-uniform
+            # multi-turn sweep instead of one even orbit)
+            step = 2.0 * np.pi / args.frames
             viewer.camera.begin_drag(0.0, 0.0, False, True)
             span = max(camera.width, camera.height)
             viewer.camera.drag_update(
-                -angle * span / (2.0 * viewer.camera.movement_speed), 0.0)
+                -step * span / (2.0 * viewer.camera.movement_speed), 0.0)
             viewer.camera.end_drag()
         img = render_one()
         if args.frames > 1:

@@ -322,7 +322,9 @@ class MegaNeRFModel:
         g2 = np.clip((points_yz[..., 1] - self.min_position[2])
                      / self.range[2] * self.grid_dim[1],
                      0, self.grid_dim[1] - 1.0).astype(np.int32)
-        return (g1 * self.grid_dim[1] + g2).astype(np.int16)
+        # int32 like cluster_ids_device — an int16 here silently wrapped
+        # for grids with > 32767 clusters (id = g1*grid_dim[1]+g2)
+        return (g1 * self.grid_dim[1] + g2).astype(np.int32)
 
     # ------------------------------------------------------------------
     def _forward_chunk(self, cluster: int, x: jax.Array) -> jax.Array:
@@ -432,7 +434,24 @@ class MegaNeRFModel:
         if ok:
             return MegaNeRFModel(params, grid_dim, min_position, max_position,
                                  need_viewdir, need_appearance)
-        # fall back to eager torch execution (frozen for speed)
+        # fall back to eager torch execution (frozen for speed).  The
+        # placeholder params must still advertise the TRUE output width
+        # (query() sizes its result buffer from params.output_dim and
+        # scatters the torch outputs into it) — probe it with one
+        # forward; the hardcoded 4 broke every fallback model whose
+        # MLPs emit data_dim+1 != 4.
+        try:
+            with torch.inference_mode():
+                probe = torch.zeros(1, in_dim)
+                try:
+                    y = modules[0](probe, False)
+                except Exception:
+                    y = modules[0](probe)
+            out_dim = int(y.shape[-1])
+        except Exception:      # pragma: no cover - pathological module
+            out_dim = params.output_dim
+        if out_dim != params.output_dim:
+            params = _dummy_params(len(modules), in_dim, out_dim)
         frozen = [torch.jit.freeze(m) if isinstance(
             m, torch.jit.ScriptModule) else m for m in modules]
         return MegaNeRFModel(params, grid_dim, min_position, max_position,
@@ -516,7 +535,8 @@ def _convert_modules(modules, in_dim: int, verify: bool = True):
     return params, True
 
 
-def _dummy_params(n_clusters: int, in_dim: int) -> MLPParams:
-    z = jnp.zeros((n_clusters, in_dim, 4), jnp.float32)
-    b = jnp.zeros((n_clusters, 4), jnp.float32)
+def _dummy_params(n_clusters: int, in_dim: int,
+                  out_dim: int = 4) -> MLPParams:
+    z = jnp.zeros((n_clusters, in_dim, out_dim), jnp.float32)
+    b = jnp.zeros((n_clusters, out_dim), jnp.float32)
     return MLPParams(weights=[z], biases=[b], skips=())

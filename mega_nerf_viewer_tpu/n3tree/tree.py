@@ -183,7 +183,23 @@ class N3Tree:
         """Write the live portion of the tree back in the svox schema."""
         cap = int(self.capacity)
         parent_depth = np.zeros((cap, 2), dtype=np.int32)
-        parent_depth[:, 0] = np.asarray(self.parent[:cap])
+        parent = np.asarray(self.parent[:cap])
+        parent_depth[:, 0] = parent
+        # svox stores per-chunk DEPTH in column 1 (our loader reads only
+        # column 0, n3tree.cpp:99-107, but svox consumers of a re-saved
+        # tree need the real values, not zeros).  Reconstruct from the
+        # parent chain: depth(chunk) = depth(parent chunk) + 1, root 0;
+        # children are allocated after parents so the fixpoint converges
+        # in tree-depth iterations of a vectorized gather.
+        pc = np.clip(parent // self.N3, 0, max(cap - 1, 0))
+        depth = np.zeros(cap, dtype=np.int32)
+        nonroot = np.arange(cap) > 0
+        for _ in range(64):
+            nd = np.where(nonroot, depth[pc] + 1, 0).astype(np.int32)
+            if np.array_equal(nd, depth):
+                break
+            depth = nd
+        parent_depth[:, 1] = depth
         np.savez(
             path,
             data_dim=np.int64(self.data_dim),

@@ -37,8 +37,10 @@ def _lib():
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for cand in (os.path.join(here, "native", "libnerfview.so"),
-                 os.environ.get("NERFVIEW_NATIVE_LIB", "")):
+    # the env override must win over the bundled build (override-variable
+    # semantics: a user pointing at a patched library expects it loaded)
+    for cand in (os.environ.get("NERFVIEW_NATIVE_LIB", ""),
+                 os.path.join(here, "native", "libnerfview.so")):
         if cand and os.path.exists(cand):
             try:
                 lib = ctypes.CDLL(cand)
@@ -171,6 +173,19 @@ def vq_decode(quant_map: np.ndarray, quant_colors: np.ndarray,
         raise RuntimeError("native library not built")
     n_basis_q, capacity, n3 = quant_map.shape
     n_retain = retained.shape[0] if retained is not None else 0
+    # the C loop indexes rows at c*n_basis(+basis) and the codebook at
+    # a fixed 65536 stride — validate both BEFORE handing it raw
+    # pointers (the numpy fallback raises IndexError for the same
+    # inconsistent archives; the native path must not heap-overflow)
+    n_basis = n_basis_q + n_retain
+    if data_dim < 3 * n_basis + 1:
+        raise ValueError(
+            f"VQ arrays imply n_basis={n_basis} but data_dim={data_dim} "
+            f"< {3 * n_basis + 1}")
+    if quant_colors.shape[1:] != (65536, 3):
+        raise ValueError(
+            f"quant_colors must be [n_basis, 65536, 3] "
+            f"(got {quant_colors.shape})")
     data = np.zeros((capacity, n3, data_dim), np.float16)
 
     def u16(a):

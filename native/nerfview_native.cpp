@@ -95,24 +95,37 @@ bool parse_central_directory(Archive* a) {
         uint16_t extra_len = rd16(b + p + 30);
         uint16_t comment_len = rd16(b + p + 32);
         e.header_off = rd32(b + p + 42);
+        if (p + 46 + (uint64_t)name_len + extra_len + comment_len > n) {
+            a->error = "central header beyond file"; return false;
+        }
         e.name.assign((const char*)(b + p + 46), name_len);
         // zip64 extra field
         const uint8_t* ex = b + p + 46 + name_len;
         const uint8_t* ex_end = ex + extra_len;
         while (ex + 4 <= ex_end) {
             uint16_t id = rd16(ex), sz = rd16(ex + 2);
+            if (ex + 4 + sz > ex_end) break;
             if (id == 1) {
                 const uint8_t* q = ex + 4;
-                if (e.uncomp_size == 0xFFFFFFFFu) { e.uncomp_size = rd64(q); q += 8; }
-                if (e.comp_size == 0xFFFFFFFFu) { e.comp_size = rd64(q); q += 8; }
-                if (e.header_off == 0xFFFFFFFFu) { e.header_off = rd64(q); q += 8; }
+                const uint8_t* q_end = ex + 4 + sz;
+                if (e.uncomp_size == 0xFFFFFFFFu && q + 8 <= q_end) {
+                    e.uncomp_size = rd64(q); q += 8;
+                }
+                if (e.comp_size == 0xFFFFFFFFu && q + 8 <= q_end) {
+                    e.comp_size = rd64(q); q += 8;
+                }
+                if (e.header_off == 0xFFFFFFFFu && q + 8 <= q_end) {
+                    e.header_off = rd64(q); q += 8;
+                }
             }
             ex += 4 + sz;
         }
         p += 46 + name_len + extra_len + comment_len;
         a->entries.push_back(std::move(e));
     }
-    // resolve local-header data offsets
+    // resolve local-header data offsets + bound every member's bytes
+    // against the mapping (a truncated/corrupt archive must fail
+    // cleanly, not SIGBUS past the mmap)
     for (auto& e : a->entries) {
         uint64_t lh = e.header_off;
         if (lh + 30 > n || rd32(b + lh) != 0x04034b50) {
@@ -120,33 +133,87 @@ bool parse_central_directory(Archive* a) {
         }
         uint16_t nl = rd16(b + lh + 26), el = rd16(b + lh + 28);
         e.data_off = lh + 30 + nl + el;
+        uint64_t extent = e.method == 0 ? e.uncomp_size : e.comp_size;
+        if (e.data_off > n || extent > n - e.data_off) {
+            a->error = "member bytes beyond file for " + e.name;
+            return false;
+        }
     }
     return true;
 }
 
-// Decompress (or copy) a member into dst (uncomp_size bytes).
-bool read_member(const Archive* a, const Entry& e, uint8_t* dst,
-                 std::string* err) {
+// Streaming inflate of a deflated member: produce bytes
+// [skip, skip + want) of the UNCOMPRESSED stream into dst.  All sizes
+// are 64-bit clean — input and output are fed to zlib in <= 1 GiB
+// slices (a single-shot (uInt) cast truncated >4 GiB members mod 2^32
+// and zlib then reported success on the ~0.6 GiB prefix: silently
+// corrupt Mill-19-scale trees).
+bool inflate_member(const Archive* a, const Entry& e, uint64_t skip,
+                    uint8_t* dst, uint64_t want, std::string* err) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) {
+        *err = "inflateInit"; return false;
+    }
+    const uint64_t SLICE = 1ull << 30;
     const uint8_t* src = a->base + e.data_off;
+    uint64_t in_left = e.comp_size;
+    uint64_t out_done = 0;                  // produced so far (incl. skip)
+    const uint64_t total_want = skip + want;
+    static thread_local std::vector<uint8_t> scratch;
+    while (out_done < total_want) {
+        if (zs.avail_in == 0 && in_left) {
+            uint64_t take = in_left < SLICE ? in_left : SLICE;
+            zs.next_in = const_cast<uint8_t*>(src);
+            zs.avail_in = (uInt)take;
+            src += take;
+            in_left -= take;
+        }
+        uint8_t* out_ptr;
+        uint64_t out_take;
+        if (out_done < skip) {
+            if (scratch.size() < 65536) scratch.resize(65536);
+            out_take = skip - out_done;
+            if (out_take > scratch.size()) out_take = scratch.size();
+            out_ptr = scratch.data();
+        } else {
+            out_take = total_want - out_done;
+            if (out_take > SLICE) out_take = SLICE;
+            out_ptr = dst + (out_done - skip);
+        }
+        zs.next_out = out_ptr;
+        zs.avail_out = (uInt)out_take;
+        int rc = inflate(&zs, Z_NO_FLUSH);
+        out_done += out_take - zs.avail_out;
+        if (rc == Z_STREAM_END) break;
+        if (rc != Z_OK && rc != Z_BUF_ERROR) {
+            inflateEnd(&zs);
+            *err = "inflate failed"; return false;
+        }
+        if (zs.avail_in == 0 && in_left == 0 && out_done < total_want) {
+            inflateEnd(&zs);
+            *err = "truncated deflate stream"; return false;
+        }
+    }
+    inflateEnd(&zs);
+    if (out_done < total_want) { *err = "truncated member"; return false; }
+    return true;
+}
+
+// Copy/decompress bytes [skip, skip + want) of a member into dst.
+// Stored members copy straight from the mapping (no temporary); a
+// bounds check against the mmap extent already ran at parse time.
+bool read_member_range(const Archive* a, const Entry& e, uint64_t skip,
+                       uint8_t* dst, uint64_t want, std::string* err) {
+    if (skip + want > e.uncomp_size) {
+        *err = "read beyond member"; return false;
+    }
     if (e.method == 0) {
-        memcpy(dst, src, e.uncomp_size);
+        memcpy(dst, a->base + e.data_off + skip, want);
         return true;
     }
     if (e.method != 8) { *err = "unsupported method"; return false; }
-    z_stream zs;
-    memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) { *err = "inflateInit"; return false; }
-    zs.next_in = const_cast<uint8_t*>(src);
-    zs.avail_in = (uInt)e.comp_size;
-    zs.next_out = dst;
-    zs.avail_out = (uInt)e.uncomp_size;
-    int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (rc != Z_STREAM_END && !(rc == Z_OK && zs.avail_out == 0)) {
-        *err = "inflate failed";
-        return false;
-    }
-    return true;
+    return inflate_member(a, e, skip, dst, want, err);
 }
 
 // Parse the npy header of a member (needs the first few hundred bytes).
@@ -154,19 +221,7 @@ bool parse_npy_header(const Archive* a, Entry& e, std::string* err) {
     // decompress just enough of the member to read the header
     uint64_t probe = e.uncomp_size < 4096 ? e.uncomp_size : 4096;
     std::vector<uint8_t> buf(probe);
-    if (e.method == 0) {
-        memcpy(buf.data(), a->base + e.data_off, probe);
-    } else {
-        z_stream zs;
-        memset(&zs, 0, sizeof(zs));
-        if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) { *err = "inflateInit"; return false; }
-        zs.next_in = const_cast<uint8_t*>(a->base + e.data_off);
-        zs.avail_in = (uInt)e.comp_size;
-        zs.next_out = buf.data();
-        zs.avail_out = (uInt)probe;
-        inflate(&zs, Z_SYNC_FLUSH);
-        inflateEnd(&zs);
-    }
+    if (!read_member_range(a, e, 0, buf.data(), probe, err)) return false;
     if (probe < 10 || memcmp(buf.data(), "\x93NUMPY", 6) != 0) {
         *err = "not an npy member"; return false;
     }
@@ -208,6 +263,26 @@ bool parse_npy_header(const Archive* a, Entry& e, std::string* err) {
         else if (has) { e.shape.push_back(cur); cur = 0; has = false; }
     }
     return true;
+}
+
+// Read the raw array payload of a header-parsed entry into dst.
+// const on the Archive (no lazy mutation, no a->error writes) so
+// nv_read_many_cap's worker threads can call it concurrently.
+int64_t entry_read_core(const Archive* a, const Entry& e, uint8_t* dst,
+                        int64_t dst_cap, std::string* err) {
+    if (e.payload_off > e.uncomp_size) {
+        *err = "corrupt member: payload offset beyond member size";
+        return -1;
+    }
+    int64_t payload = (int64_t)(e.uncomp_size - e.payload_off);
+    if (dst_cap >= 0 && payload > dst_cap) {
+        *err = "corrupt member: payload larger than npy geometry";
+        return -1;
+    }
+    if (!read_member_range(a, e, e.payload_off, dst, (uint64_t)payload,
+                           err))
+        return -1;
+    return payload;
 }
 
 }  // namespace
@@ -270,18 +345,8 @@ int64_t nv_entry_read_cap(void* h, int i, uint8_t* dst, int64_t dst_cap) {
     if (e.descr.empty() && !parse_npy_header(a, e, &err)) {
         a->error = err; return -1;
     }
-    if (e.payload_off > e.uncomp_size) {
-        a->error = "corrupt member: payload offset beyond member size";
-        return -1;
-    }
-    int64_t payload = (int64_t)(e.uncomp_size - e.payload_off);
-    if (dst_cap >= 0 && payload > dst_cap) {
-        a->error = "corrupt member: payload larger than npy geometry";
-        return -1;
-    }
-    std::vector<uint8_t> full(e.uncomp_size);
-    if (!read_member(a, e, full.data(), &err)) { a->error = err; return -1; }
-    memcpy(dst, full.data() + e.payload_off, payload);
+    int64_t payload = entry_read_core(a, e, dst, dst_cap, &err);
+    if (payload < 0) a->error = err;
     return payload;
 }
 
@@ -295,11 +360,28 @@ int64_t nv_entry_read(void* h, int i, uint8_t* dst) {
 // each; caps may be null for unchecked reads).  Returns 0 on success.
 int nv_read_many_cap(void* h, const int* indices, uint8_t** dsts,
                      const int64_t* caps, int count) {
-    std::atomic<int> fail{0};
+    auto* a = (Archive*)h;
+    // parse every requested npy header up front, single-threaded: the
+    // lazy parse mutates shared Entry fields (descr/shape/payload_off)
+    // and a->error, which the worker threads below must never touch
+    for (int k = 0; k < count; ++k) {
+        int i = indices[k];
+        if (i < 0 || i >= (int)a->entries.size()) {
+            a->error = "entry index out of range";
+            return 1;
+        }
+        Entry& e = a->entries[i];
+        std::string err;
+        if (e.descr.empty() && !parse_npy_header(a, e, &err)) {
+            a->error = err;
+            return 1;
+        }
+    }
     unsigned n_threads = std::thread::hardware_concurrency();
     if (n_threads == 0) n_threads = 4;
     if ((unsigned)count < n_threads) n_threads = (unsigned)count;
     std::atomic<int> next{0};
+    std::vector<std::string> errs(count);   // per-task slots, no sharing
     std::vector<std::thread> ts;
     for (unsigned t = 0; t < n_threads; ++t) {
         ts.emplace_back([&]() {
@@ -307,13 +389,21 @@ int nv_read_many_cap(void* h, const int* indices, uint8_t** dsts,
                 int k = next.fetch_add(1);
                 if (k >= count) break;
                 int64_t cap = caps ? caps[k] : -1;
-                if (nv_entry_read_cap(h, indices[k], dsts[k], cap) < 0)
-                    fail = 1;
+                std::string err;
+                if (entry_read_core(a, a->entries[indices[k]], dsts[k],
+                                    cap, &err) < 0)
+                    errs[k] = err.empty() ? "read failed" : err;
             }
         });
     }
     for (auto& th : ts) th.join();
-    return fail.load();
+    for (int k = 0; k < count; ++k) {
+        if (!errs[k].empty()) {
+            a->error = a->entries[indices[k]].name + ": " + errs[k];
+            return 1;
+        }
+    }
+    return 0;
 }
 
 int nv_read_many(void* h, const int* indices, uint8_t** dsts, int count) {

@@ -106,3 +106,36 @@ def test_corrupt_oversized_payload_fails_cleanly(tmp_path):
     open(p, "wb").write(bytes(raw))
     with pytest.raises(RuntimeError):
         native.load_npz(p)
+
+
+def test_truncated_archive_fails_cleanly(tmp_path, rng):
+    """Bytes missing from the middle of the archive (offsets now point
+    past or at garbage) must raise RuntimeError, never read past the
+    mapping (SIGBUS) or return corrupt arrays."""
+    from mega_nerf_viewer_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    p = tmp_path / "t.npz"
+    np.savez_compressed(p, a=rng.randn(512, 16).astype(np.float32),
+                        b=np.arange(4096, dtype=np.int32))
+    raw = p.read_bytes()
+    cut = p.with_suffix(".cut.npz")
+    cut.write_bytes(raw[:1000] + raw[4000:])    # drop mid-file bytes
+    with pytest.raises(RuntimeError):
+        native.load_npz(str(cut))
+
+
+def test_vq_decode_validates_geometry(rng):
+    """Inconsistent VQ arrays (data_dim too small for n_basis, or a
+    non-65536 codebook) must raise instead of writing out of bounds —
+    the numpy fallback raises IndexError for the same archives."""
+    from mega_nerf_viewer_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    qm = rng.randint(0, 10, (2, 4, 8)).astype(np.uint16)
+    qc = rng.randn(2, 65536, 3).astype(np.float16)
+    sg = rng.randn(4, 8).astype(np.float16)
+    with pytest.raises(ValueError):
+        native.vq_decode(qm, qc, None, sg, data_dim=4)   # needs >= 7
+    with pytest.raises(ValueError):
+        native.vq_decode(qm, qc[:, :100], None, sg, data_dim=7)

@@ -104,3 +104,19 @@ def test_load_state_without_tree(tmp_path):
     assert int(v2.tree.capacity) == int(other.capacity)
     v2.load_state(p, load_tree=False)
     assert int(v2.tree.capacity) == int(other.capacity)
+
+
+def test_save_npz_writes_depth_column(tmp_path):
+    """svox stores per-chunk depth in parent_depth[:, 1]; a re-saved
+    tree must carry real depths (reconstructed from the parent chain),
+    not zeros — external svox consumers read them."""
+    tree = sphere_tree(basis_dim=1, depth=4)
+    p = tmp_path / "t.npz"
+    tree.save_npz(str(p))
+    raw = np.load(str(p))
+    pd = raw["parent_depth"]
+    cap = pd.shape[0]
+    assert pd[0, 1] == 0
+    assert pd[:, 1].max() >= 2          # a depth-4 tree has deep chunks
+    pc = np.clip(pd[:, 0] // tree.N3, 0, cap - 1)
+    assert np.array_equal(pd[1:, 1], pd[pc[1:], 1] + 1)
