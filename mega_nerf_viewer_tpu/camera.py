@@ -62,7 +62,7 @@ class Camera:
         self._drag = None
         self._has_changed = True
         self._transform_changed = False
-        self._last = (None, None, None, None)
+        self._last = (None,) * 6
         self._update()
 
     # ------------------------------------------------------------------
@@ -81,9 +81,11 @@ class Camera:
                 self._transform_changed = True
             self.transform = new_transform
 
-        if self._last != (self.fx, self.fy, self.width, self.height):
+        intr_now = (self.fx, self.fy, self.cx, self.cy,
+                    self.width, self.height)
+        if self._last != intr_now:
             self._transform_changed = True
-            self._last = (self.fx, self.fy, self.width, self.height)
+            self._last = intr_now
 
         clip_near = 1e-3
         # GL-style projection, column-major layout as in camera.cpp:106-109

@@ -60,7 +60,7 @@ class RenderOptions:
 
     max_depth: int = 16
     samples_per_corner: int = 8
-    split_batch_size: int = 4192
+    split_batch_size: int = 4096
     nerf_batch_size: int = 1024
     max_sample_count: int = 256
 

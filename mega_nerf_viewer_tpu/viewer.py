@@ -85,6 +85,11 @@ class Viewer:
         self._prune_happened = False
         self._can_reuse_results = False
         self._guided_cache = None
+        # monotone TREE generation: bumped by set()/expand/prune so
+        # tree-derived caches (grid overlay) can key on it instead of
+        # id(self.tree) (ids can be reused after the old tree is
+        # collected, serving stale frames)
+        self._tree_gen = 0
         # monotone generation stamp for _guided_cache: the composited-
         # image cache keys on this (NOT id(cache) — ids can be reused
         # after the old dict is collected, serving a stale frame)
@@ -211,6 +216,7 @@ class Viewer:
                 sample_counts=np.asarray(tree.sample_counts)[:cap],
                 max_capacity=self.max_tree_capacity)
         self.tree = tree
+        self._tree_gen = getattr(self, "_tree_gen", 0) + 1
         self._leaf_map = None
         self._skip_table = None
         self._visit_tracker = jnp.zeros(
@@ -388,6 +394,47 @@ class Viewer:
         return np.asarray(img) if fetch else jnp.asarray(img)
 
     # ------------------------------------------------------------------
+    def _ensure_maps(self, need_votes: bool = False):
+        """Ensure a valid leaf map + entry-skip prepass table for the
+        current options; returns the skip table (or None).  ONE home
+        for the validity envelope, shared by the fast, foveated, and
+        guided render paths (hand-copied variants drifted: the guided
+        copy skipped the turbo check and marched a stale approximate
+        map after the threshold dropped).
+
+        A turbo map is only valid for sigma_thresh >= its build
+        threshold (empty-cube safety is monotone upward, not downward)
+        and carries no per-leaf identity for votes.  The skip table is
+        valid for exactly its build sigma_thresh; not for vote frames
+        (the reference's fallback vote inspects empty leaves)."""
+        from .ops import accel
+        opt = self.options
+        turbo_thresh = getattr(self, "_leaf_map_turbo_thresh", None)
+        if self._leaf_map is not None and turbo_thresh is not None and (
+                opt.sigma_thresh < turbo_thresh or need_votes
+                or not self.use_turbo_map):
+            self._leaf_map = None
+        if self._leaf_map is None:
+            with self.timer.time("leaf_map_build"):
+                if self.use_turbo_map and not need_votes:
+                    self._leaf_map = accel.build_turbo_leaf_map(
+                        self.tree, sigma_thresh=opt.sigma_thresh)
+                    self._leaf_map_turbo_thresh = opt.sigma_thresh
+                else:
+                    self._leaf_map = accel.build_leaf_map(self.tree)
+                    self._leaf_map_turbo_thresh = None
+                self._skip_table = None
+        if self.use_prepass and not need_votes:
+            thresh = opt.sigma_thresh
+            if (getattr(self, "_skip_table", None) is None
+                    or getattr(self, "_skip_thresh", None) != thresh):
+                from .ops.pallas_march import build_skip_table
+                self._skip_table = build_skip_table(self.tree, thresh)
+                self._skip_thresh = thresh
+            return self._skip_table
+        return None
+
+    # ------------------------------------------------------------------
     def _render_fast(self, need_votes: bool = False):
         """Leaf-map accelerated frame; falls back to the exact renderer
         when the dense-sample cap overflows.  Returns (img, res) where
@@ -402,39 +449,7 @@ class Viewer:
         # overflow flags before reading this frame's order/segments
         if self.overflow_policy in ("async", "device"):
             self._check_pending_overflow()
-        # a turbo map is only valid for sigma_thresh >= its build
-        # threshold (empty-cube safety is monotone upward, not downward)
-        # and carries no per-leaf identity for votes — rebuild when the
-        # configuration moved out of its validity envelope
-        turbo_thresh = getattr(self, "_leaf_map_turbo_thresh", None)
-        if self._leaf_map is not None and turbo_thresh is not None and (
-                self.options.sigma_thresh < turbo_thresh or need_votes
-                or not self.use_turbo_map):
-            self._leaf_map = None
-        if self._leaf_map is None:
-            with self.timer.time("leaf_map_build"):
-                if self.use_turbo_map and not need_votes:
-                    self._leaf_map = accel.build_turbo_leaf_map(
-                        self.tree,
-                        sigma_thresh=self.options.sigma_thresh)
-                    self._leaf_map_turbo_thresh = \
-                        self.options.sigma_thresh
-                else:
-                    self._leaf_map = accel.build_leaf_map(self.tree)
-                    self._leaf_map_turbo_thresh = None
-                self._skip_table = None
-        # entry-skip prepass table (Pallas register-table march through
-        # entry empty space; bit-identical pixels — pallas_march.py).
-        # Valid for exactly its build sigma_thresh; not for vote frames.
-        skip_table = None
-        if self.use_prepass and not need_votes:
-            thresh = self.options.sigma_thresh
-            if (getattr(self, "_skip_table", None) is None
-                    or getattr(self, "_skip_thresh", None) != thresh):
-                from .ops.pallas_march import build_skip_table
-                self._skip_table = build_skip_table(self.tree, thresh)
-                self._skip_thresh = thresh
-            skip_table = self._skip_table
+        skip_table = self._ensure_maps(need_votes)
         # frame-to-frame coherence: rays sorted by (dense records, march
         # steps) from a previous frame; steady-state frames then render
         # in segments whose deferred-shading budget matches each ray
@@ -590,7 +605,7 @@ class Viewer:
                     * self.camera.height))
                 self._segments_src = ("steady",)
                 self._order_back = np.asarray(
-                    self.camera.transform, np.float32)[:, 2].copy()
+                    self.camera.transform, np.float32)[2, :].copy()
             else:
                 self._ray_order = accel.order_from_hints(
                     steps, nrec, skips)
@@ -648,29 +663,7 @@ class Viewer:
                 subs.append(v)
             self._fov_sub = tuple(subs)
             self._fov_key = key
-        # same turbo-map validity envelope as _render_fast: a turbo map
-        # built at a higher sigma_thresh marks now-dense cells as empty
-        # cubes once the threshold drops — rebuild, don't march it
-        turbo_thresh = getattr(self, "_leaf_map_turbo_thresh", None)
-        if self._leaf_map is not None and turbo_thresh is not None and (
-                opt.sigma_thresh < turbo_thresh or not self.use_turbo_map):
-            self._leaf_map = None
-        if self._leaf_map is None:
-            with self.timer.time("leaf_map_build"):
-                if self.use_turbo_map:
-                    self._leaf_map = accel.build_turbo_leaf_map(
-                        self.tree, sigma_thresh=opt.sigma_thresh)
-                    self._leaf_map_turbo_thresh = opt.sigma_thresh
-                else:
-                    self._leaf_map = accel.build_leaf_map(self.tree)
-                    self._leaf_map_turbo_thresh = None
-                self._skip_table = None
-        if self.use_prepass and (
-                self._skip_table is None
-                or getattr(self, "_skip_thresh", None) != opt.sigma_thresh):
-            from .ops.pallas_march import build_skip_table
-            self._skip_table = build_skip_table(self.tree, opt.sigma_thresh)
-            self._skip_thresh = opt.sigma_thresh
+        self._ensure_maps(False)
         intr = ((cam.fx / f, cam.fy / f, cam.cx / f, cam.cy / f),
                 (cam.fx, cam.fy, cam.cx - x0, cam.cy - y0))
         # guided sampling runs per sub-viewer at its own resolution
@@ -730,7 +723,13 @@ class Viewer:
         their episodes independently (their hints refresh at different
         times)."""
         cam = self.camera
-        back = np.asarray(cam.transform, np.float32)[:, 2]
+        # transform is ROW-stacked [right, up, back, center]
+        # (camera.cpp:54-82): the view direction is row 2.  (The
+        # column [:, 2] read here previously mixed z-components — it
+        # is INVARIANT under rotation about world-z, the default orbit
+        # axis, so the primary interactive motion was never dilated
+        # beyond the minimum window.)
+        back = np.asarray(cam.transform, np.float32)[2, :]
         prev = getattr(self, attr, None)
         setattr(self, attr, back.copy())
         if prev is None:
@@ -834,9 +833,9 @@ class Viewer:
         cam = self.camera
         opt = self.options
         if opt.show_grid:
-            key = (opt.grid_max_depth, id(self.tree),
+            key = (opt.grid_max_depth, self._tree_gen,
                    cam.transform.tobytes(), cam.fx, cam.fy,
-                   cam.width, cam.height)
+                   cam.cx, cam.cy, cam.width, cam.height)
             cache = getattr(self, "_grid_cache", None)
             if cache is None or cache[0] != key:
                 with self.timer.time("gen_wire"):
@@ -887,18 +886,7 @@ class Viewer:
                 if (self.use_fast_path and self.tree.N == 2
                         and not needs_votes and not track_visit):
                     from .ops import accel
-                    if self._leaf_map is None:
-                        self._leaf_map = accel.build_leaf_map(self.tree)
-                    skip_table = None
-                    if self.use_prepass:
-                        thresh = opt.sigma_thresh
-                        if (self._skip_table is None
-                                or self._skip_thresh != thresh):
-                            from .ops.pallas_march import build_skip_table
-                            self._skip_table = build_skip_table(
-                                self.tree, thresh)
-                            self._skip_thresh = thresh
-                        skip_table = self._skip_table
+                    skip_table = self._ensure_maps(False)
                     # cost-sort the collect march with the PREVIOUS
                     # invalidation's per-ray sample counts (temporal
                     # coherence across camera moves; outputs identical)
@@ -1014,19 +1002,18 @@ class Viewer:
             self.tree, self.model, self.options, res.split_vote,
             self._visit_tracker, key=self._next_key())
         self._visit_tracker = tracker
-        if added:
-            self._leaf_map = None
-            self._skip_table = None
+        # every branch edits the tree -> the leaf map is stale
+        self._leaf_map = None
+        self._skip_table = None
         if added == 0:
             new_tree = refine.get_more_samples(
                 self.tree, self.model, self.options, res.sample_vote,
                 key=self._next_key())
-            self._leaf_map = None
-            self._skip_table = None
         else:
             self._can_reuse_results = False
             self._guided_cache = None
         self.tree = new_tree
+        self._tree_gen += 1
 
     def _prune(self):
         """Capacity-pressure prune (cuda_renderer.cpp:343-381)."""
@@ -1038,6 +1025,12 @@ class Viewer:
         self._visits_valid = False
         self._leaf_map = None
         self._skip_table = None
+        self._tree_gen += 1
+        # pruning COMPACTS chunk indices (cumsum shift): any cached
+        # guided results/votes carry pre-prune chunk ids — a cache hit
+        # would split/visit-mark the wrong chunks next frame
+        self._can_reuse_results = False
+        self._guided_cache = None
 
     # ------------------------------------------------------------------
     # Interactive-equivalent input handling (reference main.cpp:268-420)
@@ -1153,16 +1146,21 @@ class Viewer:
         o = state["options"]
         for k in ("render_bbox", "basis_minmax", "rot_dirs"):
             o[k] = tuple(o[k])
-        self.options = RenderOptions(**o)
         if load_tree and state.get("tree_path"):
             self.set(N3Tree.open(state["tree_path"]),
                      self.max_tree_capacity)
+        # restore options AFTER set(): set() resets basis_minmax to the
+        # tree's full band, which would clobber a saved custom range
+        self.options = RenderOptions(**o)
         self._can_reuse_results = False
         self._guided_cache = None
 
     # ------------------------------------------------------------------
     def screenshot(self, path: str) -> bool:
         """Render + save a PNG (reference save-screenshot dialog,
-        main.cpp:138-162)."""
-        img = self.render()
+        main.cpp:138-162).  The frame stays on device through the
+        uint8 quantization so only the 4x-smaller rgba8 crosses to the
+        host (a fetched-f32 + re-upload round trip tripled transfers
+        at 1080p)."""
+        img = self.render(fetch=False)
         return write_png(path, np.asarray(to_rgba8(jnp.asarray(img))))

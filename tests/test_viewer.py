@@ -52,7 +52,7 @@ def test_splitting_suppressed_while_dragging():
 
 def test_prune_triggers_near_capacity():
     v = _viewer(depth=3, max_cap=None, use_splitting=False,
-                split_batch_size=4192)
+                split_batch_size=4096)
     # max_cap defaults to tree capacity; max_cap - cap < split_batch_size
     cap0 = int(v.tree.capacity)
     v.render()   # visit-tracked? capacity == max so prune path triggers
@@ -62,7 +62,11 @@ def test_prune_triggers_near_capacity():
 
 
 def test_guided_cache_invalidated_on_camera_move():
-    v = _viewer(use_guided_sampling=True, max_guided_samples=8)
+    # small split batch keeps capacity-pressure pruning out of the
+    # picture (a prune correctly invalidates the guided cache: its
+    # chunk ids shift under compaction)
+    v = _viewer(use_guided_sampling=True, max_guided_samples=8,
+                split_batch_size=16)
     v.render()
     assert v._can_reuse_results
     cache1 = v._guided_cache
@@ -648,3 +652,33 @@ def test_foveated_guided_refinement_not_stale():
     b = np.asarray(v.render())
     assert not np.array_equal(a, b), \
         "stale foveated guided frame after tree edit"
+
+
+def test_estimate_dilation_tracks_orbit():
+    """The hint-dilation window must respond to the default orbit
+    motion (rotation about world-up): a 3-degree pose sweeps ~58 px at
+    1080p/fx=1111, needing a >= 64 window.  Regression: reading the
+    transform's z-COLUMN (invariant under world-z rotation) instead of
+    the back ROW made every orbit look like zero motion."""
+    t = sphere_tree(basis_dim=1, depth=3)
+    v = Viewer(t, camera=Camera(1920, 1080, 1111.0))
+    v.camera._update()
+    assert v._estimate_dilation() == 0          # no previous pose yet
+    v.camera.begin_drag(0.0, 0.0, False, True)
+    v.camera.drag_update(-np.deg2rad(3.0) * 1920 / 2.0, 0.0)
+    v.camera.end_drag()
+    v.camera._update()
+    assert v._estimate_dilation() >= 64
+
+
+def test_prune_invalidates_guided_cache():
+    """Pruning compacts chunk indices (cumsum shift), so cached guided
+    results — whose votes/visits carry pre-prune chunk ids — must be
+    dropped; a cache hit next frame would split/visit-mark the wrong
+    chunks."""
+    # default split_batch_size > max_cap headroom: prune pressure is on
+    v = _viewer(use_guided_sampling=True, max_guided_samples=8)
+    v.render()
+    assert v._prune_happened, "setup failed to trigger the prune path"
+    assert v._guided_cache is None
+    assert not v._can_reuse_results
