@@ -1,0 +1,39 @@
+#!/bin/bash
+# Queued TPU measurements for when the axon tunnel returns.
+# (The tunnel died mid-round-3 — `timeout 45 python -c "import jax,
+# jax.numpy as jnp; print(float(jnp.arange(8).sum()))"` hangs; run
+# that probe first.)  Each benchmark runs SOLO in a fresh process
+# (concurrent TPU processes can wedge the backend) from the repo root,
+# with generous timeouts for the remote compile service.
+#
+# Measurement priorities (PERFORMANCE.md caveat + round-3 leftovers):
+#  1. bench.py          — headline regression check after the segment
+#                         floor-quantization + leaf_lookup refactors
+#                         (layouts shifted <= 1 chunk/class; expect
+#                         ~16.6 fps unchanged)
+#  2. motion1080p       — re-measure with the FIXED dilation estimator
+#                         (was stuck at window 16; expect >= 2.40 fps)
+#  3. motion_guided1080p — same, guided (expect >= 2.98 fps); also the
+#                         never-timed guided-foveated config
+#  4. guided1080p / foveated1080p / orbit4k / refine_throughput /
+#     parity — regression sweep
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpu_results
+for cmd in \
+    "python bench.py" \
+    "python benchmarks/motion1080p.py" \
+    "python benchmarks/motion_guided1080p.py" \
+    "python benchmarks/motion_guided1080p.py 8 3 32 4" \
+    "python benchmarks/guided1080p.py" \
+    "python benchmarks/foveated1080p.py" \
+    "python benchmarks/orbit4k.py" \
+    "python benchmarks/refine_throughput.py" \
+    "python benchmarks/parity.py" \
+    ; do
+  name=$(echo "$cmd" | tr ' /' '__')
+  echo "=== $cmd" | tee -a /tmp/tpu_results/log.txt
+  timeout 3000 $cmd > "/tmp/tpu_results/$name.out" 2>&1
+  echo "rc=$? $(tail -2 "/tmp/tpu_results/$name.out")" \
+      | tee -a /tmp/tpu_results/log.txt
+done
