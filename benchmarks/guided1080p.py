@@ -107,9 +107,23 @@ def main():
 
     # compact device-resident cache -> XLA segmented-scan compositor
     results["composite_compact_ms"] = time_comp(False)
-    # single-pass Pallas segmented-scan kernel (auto route)
+    # single-pass Pallas segmented-scan kernel (auto route).  The auto
+    # gate can silently fall back to XLA (tile-divisibility, missing
+    # vdirs, viewdir signature mismatch, _compact_broken) which would
+    # mislabel an XLA duplicate as the Pallas number — verify the gate
+    # holds and label the metric honestly if it doesn't.
+    from mega_nerf_viewer_tpu.ops import pallas_composite as _pc
+    M = cache["results_c"].shape[0]
+    gate_ok = (cache.get("vdirs_c") is not None
+               and M % (_pc._SUB * 128) == 0
+               and not getattr(_pc, "_compact_broken", False))
     try:
-        results["composite_pallas_ms"] = time_comp(None)
+        ms = time_comp(None)
+        if gate_ok and not getattr(_pc, "_compact_broken", False):
+            results["composite_pallas_ms"] = ms
+        else:
+            results["composite_pallas_ms"] = (
+                f"fell back to XLA ({ms} ms; gate_ok={gate_ok})")
     except Exception as e:
         results["composite_pallas_ms"] = f"unavailable: {e!r}"
 

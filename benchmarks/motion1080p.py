@@ -69,14 +69,17 @@ def main():
     # Warmup: compile every executable the motion loop can reach at
     # these shapes (hint frame at each escalation md, segmented frame
     # with default + escalated budgets, device-fallback branch), then
-    # rewind the viewer state so the timed run starts like a user who
-    # just grabbed the mouse.
+    # REWIND: restore the start pose, settle one parked frame there,
+    # so the timed run starts like a user who viewed the start pose
+    # and just grabbed the mouse (not mid-orbit with carried state).
+    pose0 = (cam.center.copy(), cam.v_back.copy())
     v.render(fetch=False)                      # hint frame + order
     for _ in range(4):
         orbit_step()
         v.render(fetch=False)                  # escalations compile here
-    n_rebuilds_warm = 0
-    state0 = np.array(v.camera.transform)
+    v.camera.center, v.camera.v_back = pose0[0].copy(), pose0[1].copy()
+    v.camera._update()
+    v.render(fetch=False)                      # settle at the start pose
 
     # timed motion run.  The Viewer defaults to use_device_order=True,
     # so order rebuilds go through order_from_hints_device (the host

@@ -16,7 +16,10 @@ tunnel-inflated dev price — the number is a lower bound on a
 production link.
 
 Usage: python benchmarks/motion_guided1080p.py [n_poses] [deg] [S]
-Prints one JSON line.
+           [foveation]
+``foveation`` > 1 (e.g. 4) runs the guided-FOVEATED approximate mode:
+1/foveation-resolution periphery + exact center window, each sub-view
+with its own guided pipeline.  Prints one JSON line.
 """
 
 import json

@@ -44,7 +44,6 @@ def main():
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
-    import jax.numpy as jnp
 
     # Per-pose hints: each orbit pose gets its own hint frame (per-ray
     # record/step/skip costs), ray order, and settled segment budgets

@@ -76,6 +76,7 @@ def main():
             cur, model.params, gd, mp, pr, opt, sv, tracker, sub)
         int(_n)
 
+    warm_shape = (lm.level, lm.deep_levels)
     total_added = 0
     t0 = time.perf_counter()
     for i in range(iters):
@@ -86,9 +87,20 @@ def main():
             cur, model.params, gd, mp, pr, opt, sv, tracker, sub)
         total_added += int(n)
     dt = time.perf_counter() - t0
+    # the warmup compiled the executables for warm_shape; a mid-run
+    # depth bump recompiles INSIDE the timed loop (remote compile
+    # service, tens of seconds) and silently collapses the rate —
+    # surface it instead of letting the number lie
+    shape_stable = (lm.level, lm.deep_levels) == warm_shape
+    if not shape_stable:
+        print(f"# WARNING: leaf-map shape moved {warm_shape} -> "
+              f"{(lm.level, lm.deep_levels)} during the timed loop; "
+              f"splits_per_sec includes a cold compile",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "refine_throughput",
+        "leafmap_shape_stable": shape_stable,
         "splits_per_sec": round(total_added / dt, 1),
         "voxels_filled_per_sec": round(total_added * 8 / dt, 1),
         "mlp_evals_per_sec": round(

@@ -363,7 +363,6 @@ def test_refinement_stays_on_fast_march(monkeypatch):
                 use_splitting=True, split_batch_size=8,
                 samples_per_corner=4)
     monkeypatch.setattr(viewer_mod, "render_frame", _boom)
-    grew = False
     cap0 = int(v.tree.capacity)
     for _ in range(4):
         img = v.render()

@@ -1,17 +1,39 @@
 """Persistent TPU perf worker: polls /tmp/perfq/ for numbered .py jobs,
-execs them in-process (shared jit cache), writes .out/.err files."""
-import os, sys, time, traceback, io, contextlib
+execs them in-process (shared jit cache), writes .out/.err files.
+
+Run FROM THE REPO ROOT and check `ps` for stale workers first (multiple
+workers race for jobs with different module states); jobs run with
+sys.path[0] = tools/, so insert /root/repo in the setup job."""
+import os, re, sys, time, traceback, io, contextlib
 
 QDIR = "/tmp/perfq"
 os.makedirs(QDIR, exist_ok=True)
 print("worker up", flush=True)
 ns = {}
+
+
+def _job_key(name):
+    # numeric-aware ordering: 2_x.py runs before 10_y.py (lexicographic
+    # sorted() ran 10 before 2, executing jobs against module state
+    # their predecessors had not yet established)
+    m = re.match(r"(\d+)", name)
+    return (int(m.group(1)) if m else 1 << 30, name)
+
+
 while True:
-    jobs = sorted(f for f in os.listdir(QDIR)
-                  if f.endswith(".py") and not os.path.exists(
-                      os.path.join(QDIR, f + ".done")))
+    jobs = sorted((f for f in os.listdir(QDIR)
+                   if f.endswith(".py") and not os.path.exists(
+                       os.path.join(QDIR, f + ".done"))),
+                  key=_job_key)
     for j in jobs:
         path = os.path.join(QDIR, j)
+        # write-quiescence: a file mid-write would exec truncated, FAIL,
+        # and be .done-stamped forever — wait until it stops changing
+        try:
+            if time.time() - os.path.getmtime(path) < 1.0:
+                continue
+        except OSError:
+            continue
         buf = io.StringIO()
         t0 = time.time()
         try:
@@ -20,7 +42,9 @@ while True:
                  contextlib.redirect_stderr(buf):
                 exec(compile(src, path, "exec"), ns)
             status = "OK"
-        except BaseException:
+        except Exception:
+            # KeyboardInterrupt/SystemExit propagate: the operator must
+            # be able to stop the worker without stamping a FAIL .done
             buf.write(traceback.format_exc())
             status = "FAIL"
         open(path + ".out", "w").write(

@@ -18,7 +18,14 @@
 #  4. guided1080p / foveated1080p / orbit4k / refine_throughput /
 #     parity — regression sweep
 set -u
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
+# mandatory tunnel probe: a dead tunnel would otherwise burn ~7.5 h of
+# per-benchmark timeouts producing nothing
+if ! timeout 45 python -c \
+    "import jax, jax.numpy as jnp; print(float(jnp.arange(8).sum()))"; then
+  echo "TPU tunnel is DEAD (probe hung/failed) — aborting queue" >&2
+  exit 2
+fi
 mkdir -p /tmp/tpu_results
 for cmd in \
     "python bench.py" \
