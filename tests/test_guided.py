@@ -445,3 +445,33 @@ def test_composite_route_gate_on_viewdir_change():
                                             use_pallas=False))
     np.testing.assert_array_equal(auto, xla)     # gate took the XLA route
     assert not np.array_equal(auto, base)        # rot_dirs change visible
+
+
+def test_collect_t_fast_ordered_with_overflow():
+    """order= + with_overflow=True must return the overflow flag (the
+    ordered non-segmented branch used to silently drop it, so callers
+    unpacked the steps array as the flag)."""
+    import jax.numpy as jnp
+    from mega_nerf_viewer_tpu.ops import accel
+    from mega_nerf_viewer_tpu.ops.rays import screen2worlddir
+    tree = sphere_tree(basis_dim=1, depth=3)
+    lm = accel.build_leaf_map(tree)
+    opt = RenderOptions(max_guided_samples=8)
+    cam = Camera(8, 8, 10.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], f32)
+    cam._update()
+    dirs, cen = screen2worlddir(cam.width, cam.height, cam.fx, cam.fy,
+                                cam.cx, cam.cy,
+                                jnp.asarray(cam.transform))
+    t_u, ns_u = guided.collect_t_fast(tree, lm, dirs, cen, opt)
+    R = dirs.shape[0]
+    perm = jnp.arange(R - 1, -1, -1, dtype=jnp.int32)     # reverse
+    order = (perm, perm)                                   # own inverse
+    out = guided.collect_t_fast(tree, lm, dirs, cen, opt, order=order,
+                                with_overflow=True)
+    assert len(out) == 3
+    t_o, ns_o, ov = out
+    assert np.asarray(ov).shape == ()
+    np.testing.assert_array_equal(np.asarray(ns_o), np.asarray(ns_u))
+    np.testing.assert_allclose(np.asarray(t_o), np.asarray(t_u),
+                               atol=1e-6)

@@ -681,3 +681,19 @@ def test_prune_invalidates_guided_cache():
     assert v._prune_happened, "setup failed to trigger the prune path"
     assert v._guided_cache is None
     assert not v._can_reuse_results
+
+
+def test_guided_with_turbo_map_close_to_exact():
+    """use_turbo_map now flows through _ensure_maps into the guided
+    path too: an explicitly opted-in turbo map may shift sample
+    placement within the documented drift envelope but the frame must
+    stay finite and close to the non-turbo guided frame."""
+    opts = dict(use_guided_sampling=True, max_guided_samples=8,
+                split_batch_size=16)
+    a_v = _viewer(**opts)
+    a = np.asarray(a_v.render())
+    b_v = _viewer(**opts)
+    b_v.use_turbo_map = True
+    b = np.asarray(b_v.render())
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, atol=5e-3)
