@@ -5,6 +5,7 @@ from .render import (render_frame_sharded, render_rays_sharded,
 from .model import tp_param_specs, mlp_forward_tp, mlp_forward_all_tp
 from .step import make_frame_refine_step
 from .guided import guided_frame_sharded
+from . import multihost
 
 __all__ = [
     "make_mesh", "default_mesh", "RAY_AXIS", "MODEL_AXIS",
@@ -13,4 +14,5 @@ __all__ = [
     "render_frame_fast_segmented_sharded",
     "tp_param_specs", "mlp_forward_tp", "mlp_forward_all_tp",
     "make_frame_refine_step", "guided_frame_sharded",
+    "multihost",
 ]

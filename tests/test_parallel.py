@@ -294,3 +294,46 @@ def test_fast_segmented_sharded_matches_single():
         segments=((0.5, 0), (0.25, 0), (0.25, 1)), mesh=mesh,
         chunk_size=64)
     assert np.asarray(seg_ov2).any()
+
+
+def test_multihost_broadcast_and_sharded_frame(tmp_path):
+    """Multi-HOST capability (SURVEY §5 distributed-backend row): two
+    jax.distributed CPU processes (4 virtual devices each) broadcast
+    the tree from process 0 over the coordinator link, render one
+    frame with rays sharded over the 8-device GLOBAL mesh, and both
+    hold the full replicated image — equal to the single-process
+    render.  Process 1 starts with a deliberately wrong tree, so
+    equality proves the broadcast carried real data."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import os as _os
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    worker = _os.path.join(root, "tests", "mh_worker.py")
+    env = dict(_os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(port), str(pid), str(tmp_path)],
+        cwd=root, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    a = np.load(str(tmp_path / "mh_0.npy"))
+    b = np.load(str(tmp_path / "mh_1.npy"))
+    ref = np.load(str(tmp_path / "mh_ref.npy"))
+    np.testing.assert_array_equal(a, b)       # replicated output
+    # cross-shape f32 fusion-order budget (PARITY.md), not bit-exact
+    np.testing.assert_allclose(a, ref, atol=1e-4)
+    assert a[..., 3].max() > 0.5              # broadcast tree is opaque
