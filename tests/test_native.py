@@ -139,3 +139,35 @@ def test_vq_decode_validates_geometry(rng):
         native.vq_decode(qm, qc, None, sg, data_dim=4)   # needs >= 7
     with pytest.raises(ValueError):
         native.vq_decode(qm, qc[:, :100], None, sg, data_dim=7)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_npz_fuzz_sizes_dtypes(tmp_path, rng, compressed):
+    """Randomized parity vs numpy across entry sizes straddling the
+    4096-byte header probe and odd shapes/dtypes (the streaming-inflate
+    rework must reproduce every byte, including the skip-past-header
+    path for stored AND deflated members)."""
+    from mega_nerf_viewer_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    arrays = {
+        "empty": np.zeros((0, 3), np.float32),
+        "one": np.float32([[3.25]]),
+        "probe_minus": rng.randint(0, 255, 4000).astype(np.uint8),
+        "probe_plus": rng.randn(600).astype(np.float64),   # > 4096 B
+        "big": rng.randn(333, 77).astype(np.float32),
+        "halfs": rng.randn(1000).astype(np.float16),
+        "ints": rng.randint(-2**40, 2**40, (57, 3)).astype(np.int64),
+        "bools": rng.rand(129) > 0.5,
+        "fmt": np.str_("SH16"),
+    }
+    p = tmp_path / ("c.npz" if compressed else "s.npz")
+    (np.savez_compressed if compressed else np.savez)(str(p), **arrays)
+    got = native.load_npz(str(p))
+    want = np.load(str(p))
+    for k in arrays:
+        if k == "fmt":
+            assert str(got[k]) == "SH16"
+            continue
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k],
+                                      err_msg=k)
