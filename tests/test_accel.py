@@ -717,3 +717,18 @@ def test_segmented_shard_body_zero_chunk_slot():
     assert out.shape == (per, 4)
     assert ov.shape == (len(seg_counts),)
     assert int(ov[1]) == 0                      # empty slot: no overflow
+
+
+def test_fast_matches_exact_rgba_format():
+    """Non-SH (RGBA) data format through the fast path: the deferred
+    shading's no-sigmoid branch must match the exact renderer
+    (rt_core.cuh:285-290 raw-coefficient composite)."""
+    from mega_nerf_viewer_tpu.n3tree import N3Tree
+    from mega_nerf_viewer_tpu.n3tree.data_format import DataFormat
+    t = random_tree(n_chunks=60, basis_dim=4, seed=11, density=1.0)
+    t = N3Tree(
+        data=t.data, child=t.child, parent=t.parent,
+        sample_counts=t.sample_counts, scale=t.scale, offset=t.offset,
+        capacity=t.capacity, N=t.N, data_dim=t.data_dim,
+        data_format=DataFormat("RGBA", -1))
+    _check(t, RenderOptions(), _cam(10, 10, 14.0))

@@ -475,3 +475,39 @@ def test_collect_t_fast_ordered_with_overflow():
     np.testing.assert_array_equal(np.asarray(ns_o), np.asarray(ns_u))
     np.testing.assert_allclose(np.asarray(t_o), np.asarray(t_u),
                                atol=1e-6)
+
+
+def test_compact_composite_rgba_format():
+    """fmt_sh=False (RGBA family): the compact segmented-scan composite
+    must take the raw-coefficient branch (weight * res[:, :3], no
+    sigmoid — rt_core.cuh:402-407) and match the padded compositor."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    R, S, out_dim = 40, 8, 4
+    ns = rng.randint(0, S + 1, R).astype(np.int32)
+    M = 2048
+    assert int(ns.sum()) <= M
+    offs = np.cumsum(ns).astype(np.int32)
+    ray_of_p = np.clip(np.searchsorted(offs, np.arange(M), "right"),
+                       0, R - 1).astype(np.int32)
+    res_flat = rng.randn(M, out_dim).astype(np.float32)
+    res_flat[:, 3] = np.abs(res_flat[:, 3]) * 3
+    z = np.sort(rng.rand(M).astype(np.float32) * 2)
+    vd = rng.randn(R, 3).astype(np.float32)
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    opt = RenderOptions()
+    got = np.asarray(guided.composite_results_compact(
+        jnp.asarray(res_flat), jnp.asarray(z), jnp.asarray(ray_of_p),
+        jnp.asarray(offs), jnp.asarray(ns), jnp.asarray(vd),
+        opt, 1, False))
+    # padded reference: scatter the compact rows into [R, S]
+    res_p = np.zeros((R, S, out_dim), np.float32)
+    z_p = np.zeros((R, S), np.float32)
+    for r in range(R):
+        lo = 0 if r == 0 else offs[r - 1]
+        res_p[r, :ns[r]] = res_flat[lo:lo + ns[r]]
+        z_p[r, :ns[r]] = z[lo:lo + ns[r]]
+    want = np.asarray(guided.composite_results(
+        jnp.asarray(res_p), jnp.asarray(z_p), jnp.asarray(ns),
+        jnp.asarray(vd), opt, 1, False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
