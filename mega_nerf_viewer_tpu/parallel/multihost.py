@@ -157,3 +157,85 @@ def render_frame_fast_sharded_multihost(
     out, overflow = _run(tree_g, lm_g, dirs_g, vdirs_g, cen_g)
     img = composite_background(out[:R], opt)
     return img.reshape(h, w, 4), overflow
+
+
+def guided_frame_sharded_multihost(
+        tree: N3Tree, leaf_map, model, camera, opt: RenderOptions,
+        mesh: Optional[Mesh] = None, budget: int = 1 << 14,
+        chunk_size: int = 0):
+    """Guided-sampling frame over the GLOBAL mesh (the multi-host
+    variant of ``parallel.guided_frame_sharded``): every device runs
+    the full collect -> compact -> grouped-MLP -> composite pipeline
+    on its ray shard, with the octree, leaf map, and converted MLP
+    weights replicated (``broadcast()`` them from process 0 first).
+    The frame comes back REPLICATED on every host; ``overflow`` is the
+    pmax-combined per-shard budget flag (re-call with a doubled
+    ``budget`` when set, the single-host escalation protocol).
+
+    Returns (img [H, W, 4] jax.Array, overflow i32 scalar)."""
+    from ..ops.rays import screen2worlddir_indices, rodrigues
+    from ..ops import guided as G
+    from ..models.meganerf import query_grouped
+    from jax import shard_map
+    import functools
+
+    if mesh is None:
+        mesh = global_mesh()
+    n = mesh.devices.size
+    w, h = camera.width, camera.height
+    R = w * h
+    pad = (-R) % (n * max(chunk_size, 1))
+    Rp = R + pad
+    sl = process_ray_slice(Rp)
+
+    pix = np.minimum(np.arange(Rp, dtype=np.int32)[sl], R - 1)
+    transform = jnp.asarray(camera.transform)
+    dirs_l, cen = screen2worlddir_indices(
+        jnp.asarray(pix), w, camera.fx, camera.fy, camera.cx, camera.cy,
+        transform)
+    vdirs_l = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs_l)
+
+    tree_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh), tree)
+    lm_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh),
+                                  leaf_map)
+    params_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh),
+                                      model.params)
+    dirs_g = _ray_sharded(np.asarray(dirs_l), mesh, Rp)
+    vdirs_g = _ray_sharded(np.asarray(vdirs_l), mesh, Rp)
+    cen_g = _replicated(np.asarray(cen), mesh)
+    gd = _replicated(np.asarray(model.grid_dim, np.int32), mesh)
+    mp = _replicated(np.asarray(model.min_position, np.float32), mesh)
+    pr = _replicated(np.asarray(model.range, np.float32), mesh)
+
+    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
+    lm_spec = jax.tree_util.tree_map(lambda _: P(), leaf_map)
+    params_spec = jax.tree_util.tree_map(lambda _: P(), model.params)
+    basis_dim = tree.data_format.basis_dim
+    fmt_sh = tree.data_format.format == "SH"
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(tree_spec, lm_spec, params_spec,
+                  P(RAY_AXIS), P(RAY_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def _run(tree, lm, params, dirs, vdirs, cen, grid_dim,
+             min_position, pos_range):
+        t_buf, ns = G.collect_t_fast(tree, lm, dirs, cen, opt,
+                                     chunk_size=chunk_size)
+        x, cids, z_c, ray_of_p, offs = G._compact_reconstruct(
+            tree, dirs, vdirs, cen, t_buf, ns, grid_dim, min_position,
+            pos_range, opt, budget)
+        res_c = query_grouped(params, cids, x)
+        out = G.composite_results_compact(
+            res_c, z_c, ray_of_p, offs, ns, vdirs, opt, basis_dim,
+            fmt_sh)
+        overflow = (jnp.sum(ns) > budget).astype(jnp.int32)
+        overflow = jax.lax.pmax(overflow, RAY_AXIS)
+        out = jax.lax.all_gather(out, RAY_AXIS, axis=0, tiled=True)
+        return out, overflow
+
+    out, overflow = _run(tree_g, lm_g, params_g, dirs_g, vdirs_g,
+                         cen_g, gd, mp, pr)
+    return out[:R].reshape(h, w, 4), overflow

@@ -47,6 +47,32 @@ def main():
         tree, lm, cam, opt, max_dense=32)
     np.save(os.path.join(outdir, f"mh_{pid}.npy"), np.asarray(img))
 
+    # guided pipeline over the global mesh: model weights broadcast
+    # from process 0 (process 1 starts with different random weights)
+    from mega_nerf_viewer_tpu.models import MegaNeRFModel
+    model = MegaNeRFModel.synthetic(
+        data_dim=13, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2),
+        seed=pid)                      # WRONG weights on process 1
+    params = multihost.broadcast(model.params)
+    model = MegaNeRFModel(params, model.grid_dim, model.min_position,
+                          model.max_position, model.need_viewdir,
+                          model.need_appearance_embedding)
+    opt_g = RenderOptions(max_guided_samples=8,
+                          use_guided_sampling=True)
+    gimg, g_ov = multihost.guided_frame_sharded_multihost(
+        tree, lm, model, cam, opt_g, budget=1 << 12)
+    assert int(g_ov) == 0
+    np.save(os.path.join(outdir, f"mhg_{pid}.npy"), np.asarray(gimg))
+
+    if pid == 0:
+        from mega_nerf_viewer_tpu.ops import guided as G
+        cache = G.collect_and_query_fast(tree, lm, model, cam, opt_g,
+                                         chunk_size=0)
+        gref = G.composite_frame(tree, cam, opt_g, cache,
+                                 use_pallas=False)
+        np.save(os.path.join(outdir, "mhg_ref.npy"), np.asarray(gref))
+
     if pid == 0:
         # single-process reference on local devices only
         from mega_nerf_viewer_tpu.ops.render import composite_background

@@ -337,3 +337,9 @@ def test_multihost_broadcast_and_sharded_frame(tmp_path):
     # cross-shape f32 fusion-order budget (PARITY.md), not bit-exact
     np.testing.assert_allclose(a, ref, atol=1e-4)
     assert a[..., 3].max() > 0.5              # broadcast tree is opaque
+    # guided pipeline over the global mesh (weights broadcast from p0)
+    ga = np.load(str(tmp_path / "mhg_0.npy"))
+    gb = np.load(str(tmp_path / "mhg_1.npy"))
+    gref = np.load(str(tmp_path / "mhg_ref.npy"))
+    np.testing.assert_array_equal(ga, gb)
+    np.testing.assert_allclose(ga, gref, atol=1e-3)
