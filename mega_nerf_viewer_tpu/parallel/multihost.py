@@ -10,24 +10,29 @@ Beyond a single host the TPU-idiomatic recipe (SURVEY §5's
    implicitly; CPU/GPU fleets pass coordinator/process ids);
 2. ``broadcast()`` the octree + model weights from process 0 ONCE at
    startup — the only DCN data movement in the design (tree and
-   weights are replicated per chip; frames never cross hosts);
+   weights are replicated per chip; frames never cross hosts) — then
+   ``replicate()`` them onto the global mesh ONCE (multi-GB lifts must
+   not repeat per frame);
 3. run the SAME shard_map programs as single-host ``parallel.render``
    over the GLOBAL mesh: rays shard globally, the per-frame collectives
-   (scalar overflow pmax, visit-mark pmax) ride ICI within a host and
-   DCN across hosts.
+   (scalar overflow pmax, output all-gather) ride ICI within a host
+   and DCN across hosts.
 
-Process-local inputs (camera-derived rays, the replicated tree) are
-lifted to global ``jax.Array``s here; outputs come back fully
-replicated so every host can consume its frame directly.
+The frame programs are lru_cached like their single-host siblings
+(``parallel.render``/``parallel.guided``): per-frame calls reuse one
+compiled executable, and already-replicated global arrays pass through
+untouched.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..options import RenderOptions
@@ -63,10 +68,25 @@ def broadcast(pytree):
 
 def _replicated(x, mesh: Mesh):
     """Lift identical per-process data to a fully-replicated global
-    array (every process must hold the same values — use
-    :func:`broadcast` first for host-loaded data)."""
+    array; global arrays already replicated on this mesh pass through
+    (so per-frame calls never re-copy a multi-GB tree)."""
+    sharding = NamedSharding(mesh, P())
+    if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(
+            sharding, x.ndim):
+        return x
     return jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P()), np.asarray(x))
+        sharding, np.asarray(x))
+
+
+def replicate(pytree, mesh: Optional[Mesh] = None):
+    """Lift a (broadcast) pytree onto the global mesh, fully
+    replicated.  Do this ONCE per tree/model and reuse the result for
+    every frame — the frame functions pass through already-global
+    leaves untouched."""
+    if mesh is None:
+        mesh = global_mesh()
+    return jax.tree_util.tree_map(lambda x: _replicated(x, mesh),
+                                  pytree)
 
 
 def _ray_sharded(x_local: np.ndarray, mesh: Mesh, global_rows: int):
@@ -87,55 +107,39 @@ def process_ray_slice(n_rows: int) -> slice:
     return slice(pid * per, (pid + 1) * per)
 
 
-def render_frame_fast_sharded_multihost(
-        tree: N3Tree, leaf_map, camera, opt: RenderOptions,
-        mesh: Optional[Mesh] = None, max_dense: int = 32,
-        chunk_size: int = 0):
-    """Leaf-map fast frame with rays sharded over the GLOBAL mesh.
-
-    Every process calls this with the same (broadcast) tree/leaf map
-    and camera; raygen runs host-side for the process's ray slice
-    only, the march runs shard-local exactly like the single-host
-    ``parallel.render_rays_fast_sharded`` (same compiled body), and
-    the output is returned fully REPLICATED so each host holds the
-    complete [H, W, 4] frame (frames are small; replication costs one
-    cross-host all-gather of the output tile).
-
-    Returns (img [H, W, 4] jax.Array, overflow count i32).
-    """
+def _local_raygen(camera, opt: RenderOptions, mesh: Mesh,
+                  chunk_size: int):
+    """Raygen for this process's ray slice; returns global (dirs,
+    vdirs, cen) plus (R, Rp)."""
     from ..ops.rays import screen2worlddir_indices, rodrigues
-    from ..ops.render import composite_background
-    from ..ops.accel import render_rays_fast
-    from jax import shard_map
-    import functools
-
-    if mesh is None:
-        mesh = global_mesh()
     n = mesh.devices.size
     w, h = camera.width, camera.height
     R = w * h
-    pad = (-R) % n
+    pad = (-R) % (n * max(chunk_size, 1))
     Rp = R + pad
     sl = process_ray_slice(Rp)
-
-    # raygen for the local slice only (pixel indices; pad rays repeat
-    # the last pixel like the single-host path)
+    # pad rays repeat the last pixel like the single-host path
     pix = np.minimum(np.arange(Rp, dtype=np.int32)[sl], R - 1)
     transform = jnp.asarray(camera.transform)
     dirs_l, cen = screen2worlddir_indices(
         jnp.asarray(pix), w, camera.fx, camera.fy, camera.cx, camera.cy,
         transform)
     vdirs_l = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs_l)
-
-    tree_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh), tree)
-    lm_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh),
-                                  leaf_map)
     dirs_g = _ray_sharded(np.asarray(dirs_l), mesh, Rp)
     vdirs_g = _ray_sharded(np.asarray(vdirs_l), mesh, Rp)
     cen_g = _replicated(np.asarray(cen), mesh)
+    return dirs_g, vdirs_g, cen_g, R, Rp
 
-    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
-    lm_spec = jax.tree_util.tree_map(lambda _: P(), leaf_map)
+
+@functools.lru_cache(maxsize=32)
+def _fast_multihost_program(mesh: Mesh, opt: RenderOptions,
+                            max_dense: int, chunk_size: int,
+                            tree_treedef, lm_treedef):
+    from ..ops.accel import render_rays_fast
+    tree_spec = jax.tree_util.tree_unflatten(
+        tree_treedef, [P()] * tree_treedef.num_leaves)
+    lm_spec = jax.tree_util.tree_unflatten(
+        lm_treedef, [P()] * lm_treedef.num_leaves)
 
     @jax.jit
     @functools.partial(
@@ -150,68 +154,57 @@ def render_frame_fast_sharded_multihost(
         ov = jax.lax.psum(res.overflow, RAY_AXIS)
         # replicate the output tile to every device (small [R, 4]
         # frames; lets each HOST consume the full image directly)
-        out = jax.lax.all_gather(res.out, RAY_AXIS, axis=0,
-                                 tiled=True)
+        out = jax.lax.all_gather(res.out, RAY_AXIS, axis=0, tiled=True)
         return out, ov
 
-    out, overflow = _run(tree_g, lm_g, dirs_g, vdirs_g, cen_g)
-    img = composite_background(out[:R], opt)
-    return img.reshape(h, w, 4), overflow
+    return _run
 
 
-def guided_frame_sharded_multihost(
-        tree: N3Tree, leaf_map, model, camera, opt: RenderOptions,
-        mesh: Optional[Mesh] = None, budget: int = 1 << 14,
+def render_frame_fast_sharded_multihost(
+        tree: N3Tree, leaf_map, camera, opt: RenderOptions,
+        mesh: Optional[Mesh] = None, max_dense: int = 32,
         chunk_size: int = 0):
-    """Guided-sampling frame over the GLOBAL mesh (the multi-host
-    variant of ``parallel.guided_frame_sharded``): every device runs
-    the full collect -> compact -> grouped-MLP -> composite pipeline
-    on its ray shard, with the octree, leaf map, and converted MLP
-    weights replicated (``broadcast()`` them from process 0 first).
-    The frame comes back REPLICATED on every host; ``overflow`` is the
-    pmax-combined per-shard budget flag (re-call with a doubled
-    ``budget`` when set, the single-host escalation protocol).
+    """Leaf-map fast frame with rays sharded over the GLOBAL mesh.
 
-    Returns (img [H, W, 4] jax.Array, overflow i32 scalar)."""
-    from ..ops.rays import screen2worlddir_indices, rodrigues
-    from ..ops import guided as G
-    from ..models.meganerf import query_grouped
-    from jax import shard_map
-    import functools
+    Every process calls this with the same (broadcast) tree/leaf map
+    and camera; raygen runs host-side for the process's ray slice
+    only, the march runs shard-local exactly like the single-host
+    ``parallel.render_rays_fast_sharded`` (same compiled body), and
+    the output is returned fully REPLICATED so each host holds the
+    complete [H, W, 4] frame.  Pass ``replicate()``d tree/leaf-map for
+    zero per-frame lift cost; the compiled program is lru-cached.
 
+    Returns (img [H, W, 4] jax.Array, overflow count i32).
+    """
+    from ..ops.render import composite_background
     if mesh is None:
         mesh = global_mesh()
-    n = mesh.devices.size
-    w, h = camera.width, camera.height
-    R = w * h
-    pad = (-R) % (n * max(chunk_size, 1))
-    Rp = R + pad
-    sl = process_ray_slice(Rp)
+    tree_g = replicate(tree, mesh)
+    lm_g = replicate(leaf_map, mesh)
+    dirs_g, vdirs_g, cen_g, R, _ = _local_raygen(camera, opt, mesh,
+                                                 chunk_size)
+    run = _fast_multihost_program(
+        mesh, opt, max_dense, chunk_size,
+        jax.tree_util.tree_structure(tree),
+        jax.tree_util.tree_structure(leaf_map))
+    out, overflow = run(tree_g, lm_g, dirs_g, vdirs_g, cen_g)
+    img = composite_background(out[:R], opt)
+    return img.reshape(camera.height, camera.width, 4), overflow
 
-    pix = np.minimum(np.arange(Rp, dtype=np.int32)[sl], R - 1)
-    transform = jnp.asarray(camera.transform)
-    dirs_l, cen = screen2worlddir_indices(
-        jnp.asarray(pix), w, camera.fx, camera.fy, camera.cx, camera.cy,
-        transform)
-    vdirs_l = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs_l)
 
-    tree_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh), tree)
-    lm_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh),
-                                  leaf_map)
-    params_g = jax.tree_util.tree_map(lambda x: _replicated(x, mesh),
-                                      model.params)
-    dirs_g = _ray_sharded(np.asarray(dirs_l), mesh, Rp)
-    vdirs_g = _ray_sharded(np.asarray(vdirs_l), mesh, Rp)
-    cen_g = _replicated(np.asarray(cen), mesh)
-    gd = _replicated(np.asarray(model.grid_dim, np.int32), mesh)
-    mp = _replicated(np.asarray(model.min_position, np.float32), mesh)
-    pr = _replicated(np.asarray(model.range, np.float32), mesh)
-
-    tree_spec = jax.tree_util.tree_map(lambda _: P(), tree)
-    lm_spec = jax.tree_util.tree_map(lambda _: P(), leaf_map)
-    params_spec = jax.tree_util.tree_map(lambda _: P(), model.params)
-    basis_dim = tree.data_format.basis_dim
-    fmt_sh = tree.data_format.format == "SH"
+@functools.lru_cache(maxsize=32)
+def _guided_multihost_program(mesh: Mesh, opt: RenderOptions,
+                              budget: int, chunk_size: int,
+                              basis_dim: int, fmt_sh: bool,
+                              tree_treedef, lm_treedef, params_treedef):
+    from ..ops import guided as G
+    from ..models.meganerf import query_grouped
+    tree_spec = jax.tree_util.tree_unflatten(
+        tree_treedef, [P()] * tree_treedef.num_leaves)
+    lm_spec = jax.tree_util.tree_unflatten(
+        lm_treedef, [P()] * lm_treedef.num_leaves)
+    params_spec = jax.tree_util.tree_unflatten(
+        params_treedef, [P()] * params_treedef.num_leaves)
 
     @jax.jit
     @functools.partial(
@@ -236,6 +229,40 @@ def guided_frame_sharded_multihost(
         out = jax.lax.all_gather(out, RAY_AXIS, axis=0, tiled=True)
         return out, overflow
 
-    out, overflow = _run(tree_g, lm_g, params_g, dirs_g, vdirs_g,
-                         cen_g, gd, mp, pr)
-    return out[:R].reshape(h, w, 4), overflow
+    return _run
+
+
+def guided_frame_sharded_multihost(
+        tree: N3Tree, leaf_map, model, camera, opt: RenderOptions,
+        mesh: Optional[Mesh] = None, budget: int = 1 << 14,
+        chunk_size: int = 0):
+    """Guided-sampling frame over the GLOBAL mesh (the multi-host
+    variant of ``parallel.guided_frame_sharded``): every device runs
+    the full collect -> compact -> grouped-MLP -> composite pipeline
+    on its ray shard, with the octree, leaf map, and converted MLP
+    weights replicated (``broadcast()`` + ``replicate()`` them from
+    process 0 first; already-global leaves pass through untouched).
+    The frame comes back REPLICATED on every host; ``overflow`` is the
+    pmax-combined per-shard budget flag (re-call with a doubled
+    ``budget`` when set, the single-host escalation protocol).
+
+    Returns (img [H, W, 4] jax.Array, overflow i32 scalar)."""
+    if mesh is None:
+        mesh = global_mesh()
+    tree_g = replicate(tree, mesh)
+    lm_g = replicate(leaf_map, mesh)
+    params_g = replicate(model.params, mesh)
+    dirs_g, vdirs_g, cen_g, R, _ = _local_raygen(camera, opt, mesh,
+                                                 chunk_size)
+    gd = _replicated(np.asarray(model.grid_dim, np.int32), mesh)
+    mp = _replicated(np.asarray(model.min_position, np.float32), mesh)
+    pr = _replicated(np.asarray(model.range, np.float32), mesh)
+    run = _guided_multihost_program(
+        mesh, opt, budget, chunk_size,
+        tree.data_format.basis_dim, tree.data_format.format == "SH",
+        jax.tree_util.tree_structure(tree),
+        jax.tree_util.tree_structure(leaf_map),
+        jax.tree_util.tree_structure(model.params))
+    out, overflow = run(tree_g, lm_g, params_g, dirs_g, vdirs_g,
+                        cen_g, gd, mp, pr)
+    return out[:R].reshape(camera.height, camera.width, 4), overflow

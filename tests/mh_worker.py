@@ -47,6 +47,15 @@ def main():
         tree, lm, cam, opt, max_dense=32)
     np.save(os.path.join(outdir, f"mh_{pid}.npy"), np.asarray(img))
 
+    # second frame with PRE-replicated inputs: global leaves must pass
+    # through untouched (no per-frame re-lift) and reuse the cached
+    # program, producing the identical frame
+    tree_g = multihost.replicate(tree)
+    lm_g = multihost.replicate(lm)
+    img2, _ = multihost.render_frame_fast_sharded_multihost(
+        tree_g, lm_g, cam, opt, max_dense=32)
+    assert np.array_equal(np.asarray(img2), np.asarray(img))
+
     # guided pipeline over the global mesh: model weights broadcast
     # from process 0 (process 1 starts with different random weights)
     from mega_nerf_viewer_tpu.models import MegaNeRFModel

@@ -28,12 +28,14 @@ while True:
     for j in jobs:
         path = os.path.join(QDIR, j)
         # write-quiescence: a file mid-write would exec truncated, FAIL,
-        # and be .done-stamped forever — wait until it stops changing
+        # and be .done-stamped forever — and later-numbered jobs must
+        # NOT run ahead of it (ordering is the contract), so stop the
+        # whole scan until the young job settles
         try:
             if time.time() - os.path.getmtime(path) < 1.0:
-                continue
+                break
         except OSError:
-            continue
+            break
         buf = io.StringIO()
         t0 = time.time()
         try:
