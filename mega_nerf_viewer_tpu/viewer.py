@@ -653,16 +653,21 @@ class Viewer:
         if self._fov_key != key or self._fov_sub is None:
             subs = []
             for (w, h) in ((W // f, H // f), (w1, h1)):
-                v = Viewer(camera=Camera(w, h, 1.0), options=opt)
-                v.use_prepass = self.use_prepass
-                v.use_dynamic_knobs = self.use_dynamic_knobs
-                v.overflow_policy = self.overflow_policy
-                v.overflow_check_interval = self.overflow_check_interval
-                v.fast_chunk_size = min(self.fast_chunk_size,
-                                        max(256, (w * h) // 16))
-                subs.append(v)
+                subs.append(Viewer(camera=Camera(w, h, 1.0),
+                                   options=opt))
             self._fov_sub = tuple(subs)
             self._fov_key = key
+        # propagate the parent's tunables EVERY frame (not just at sub
+        # creation): a user flipping overflow_policy/use_prepass/... on
+        # the parent must govern the sub-frames too
+        for v, (w, h) in zip(self._fov_sub,
+                             ((W // f, H // f), (w1, h1))):
+            v.use_prepass = self.use_prepass
+            v.use_dynamic_knobs = self.use_dynamic_knobs
+            v.overflow_policy = self.overflow_policy
+            v.overflow_check_interval = self.overflow_check_interval
+            v.fast_chunk_size = min(self.fast_chunk_size,
+                                    max(256, (w * h) // 16))
         self._ensure_maps(False)
         intr = ((cam.fx / f, cam.fy / f, cam.cx / f, cam.cy / f),
                 (cam.fx, cam.fy, cam.cx - x0, cam.cy - y0))
