@@ -305,14 +305,11 @@ class MegaNeRFModel:
     def cluster_ids_device(self, points_yz: jax.Array) -> jax.Array:
         """Spatial cluster id from world (y, z), on device
         (rt_core.cuh:541-549)."""
-        gd = jnp.asarray(self.grid_dim, jnp.float32)
-        mp = jnp.asarray(self.min_position, jnp.float32)
-        rg = jnp.asarray(self.range, jnp.float32)
-        g1 = jnp.clip((points_yz[..., 0] - mp[1]) / rg[1] * gd[0],
-                      0.0, gd[0] - 1.0).astype(jnp.int32)
-        g2 = jnp.clip((points_yz[..., 1] - mp[2]) / rg[2] * gd[1],
-                      0.0, gd[1] - 1.0).astype(jnp.int32)
-        return g1 * int(self.grid_dim[1]) + g2
+        return cluster_ids_from_yz(
+            points_yz[..., 0], points_yz[..., 1],
+            jnp.asarray(self.grid_dim, jnp.int32),
+            jnp.asarray(self.min_position, jnp.float32),
+            jnp.asarray(self.range, jnp.float32))
 
     def cluster_ids_for_points(self, points_yz: np.ndarray) -> np.ndarray:
         """Spatial cluster id from world (y, z) (rt_core.cuh:541-549)."""
@@ -533,6 +530,24 @@ def _convert_modules(modules, in_dim: int, verify: bool = True):
                     want, got, rtol=1e-4, atol=1e-4):
                 return params, False
     return params, True
+
+
+def cluster_ids_from_yz(y, z, grid_dim, min_position, pos_range):
+    """THE spatial cluster-id grid over world (y, z)
+    (rt_core.cuh:541-549, renderer_kernel.cu:154-167): one home for
+    the clip/scale/linearize policy, jit-traceable in every argument.
+    Shared by the guided collectors, the jitted refinement fill, and
+    MegaNeRFModel.cluster_ids_device — keep them on this helper so the
+    cluster assignment can never drift between paths."""
+    gd = jnp.asarray(grid_dim)
+    gdf = gd.astype(jnp.float32)
+    mp = jnp.asarray(min_position, jnp.float32)
+    rg = jnp.asarray(pos_range, jnp.float32)
+    g1 = jnp.clip((y - mp[1]) / rg[1] * gdf[0],
+                  0.0, gdf[0] - 1.0).astype(jnp.int32)
+    g2 = jnp.clip((z - mp[2]) / rg[2] * gdf[1],
+                  0.0, gdf[1] - 1.0).astype(jnp.int32)
+    return g1 * gd[1].astype(jnp.int32) + g2
 
 
 def _dummy_params(n_clusters: int, in_dim: int,

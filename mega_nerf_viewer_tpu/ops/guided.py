@@ -487,12 +487,9 @@ def reconstruct_samples(tree: N3Tree, dirs: jax.Array,
                              jnp.float32))
     samples = jnp.concatenate(cols, axis=-1)
     samples = jnp.where(valid[..., None], samples, -1.0)
-    gd = grid_dim.astype(jnp.float32)
-    g1 = jnp.clip((pos[..., 1] - min_position[1]) / pos_range[1] * gd[0],
-                  0.0, gd[0] - 1.0).astype(jnp.int32)
-    g2 = jnp.clip((pos[..., 2] - min_position[2]) / pos_range[2] * gd[1],
-                  0.0, gd[1] - 1.0).astype(jnp.int32)
-    cluster_ids = g1 * grid_dim[1] + g2
+    from ..models.meganerf import cluster_ids_from_yz
+    cluster_ids = cluster_ids_from_yz(pos[..., 1], pos[..., 2],
+                                      grid_dim, min_position, pos_range)
     return samples, cluster_ids
 
 
@@ -570,12 +567,10 @@ def _compact_reconstruct(tree: N3Tree, dirs: jax.Array, vdirs: jax.Array,
     x = jnp.concatenate(cols, axis=-1)
     valid = p < total
     x = jnp.where(valid[:, None], x, 0.0)
-    gd = grid_dim.astype(jnp.float32)
-    g1 = jnp.clip((pos[:, 1] - min_position[1]) / pos_range[1] * gd[0],
-                  0.0, gd[0] - 1.0).astype(jnp.int32)
-    g2 = jnp.clip((pos[:, 2] - min_position[2]) / pos_range[2] * gd[1],
-                  0.0, gd[1] - 1.0).astype(jnp.int32)
-    cluster_ids = jnp.where(valid, g1 * grid_dim[1] + g2, 0)
+    from ..models.meganerf import cluster_ids_from_yz
+    cids = cluster_ids_from_yz(pos[:, 1], pos[:, 2], grid_dim,
+                               min_position, pos_range)
+    cluster_ids = jnp.where(valid, cids, 0)
     return x, cluster_ids, jnp.where(valid, z, 0.0), ray_of_p, offs
 
 

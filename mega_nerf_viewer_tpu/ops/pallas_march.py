@@ -99,6 +99,12 @@ def build_skip_table(tree: N3Tree, sigma_thresh) -> jax.Array:
     Rows 16-79 — level-6 bits: 1 iff the level-6 cell is a leaf at
     depth exactly 6 with sigma <= sigma_thresh.
     """
+    # trace-time guard (tree.N is static pytree metadata): _build_rows'
+    # binary digit-peel descent is N == 2 only — a wrong-N table would
+    # silently mark dense cells skippable
+    if tree.N != 2:
+        raise ValueError(f"skip table requires N == 2 trees "
+                         f"(got N={tree.N})")
     from .accel import _build_rows, _f16_bits_to_f32, _INTERNAL_BIT, \
         _DEPTH_BITS
     rows = _build_rows(tree, _LEVEL, 0)               # [4096, 2]

@@ -289,9 +289,13 @@ def get_more_samples(tree: N3Tree, model, opt: RenderOptions,
     old = jnp.take(data_flat, node, axis=0).astype(jnp.float32)
     old_counts = jnp.take(counts_flat, node).astype(jnp.float32)
     new_counts = old_counts + spc
-    # new mean = old + (sum_new - spc*old) / new_count
-    update = (new_sum - spc * old) / new_counts[:, None]
-    data_flat = data_flat.at[node].add(update.astype(jnp.float16))
+    # new mean = old + (sum_new - spc*old) / new_count, computed in f32
+    # and written with ONE f16 rounding (a scatter-ADD of an f16 delta
+    # would accumulate in f16 arithmetic — the f16-storage/f32-accumulate
+    # contract requires the arithmetic to stay f32)
+    new_mean = old + (new_sum - spc * old) / new_counts[:, None]
+    data_flat = data_flat.at[node].set(
+        new_mean.astype(jnp.float16), unique_indices=True)
     counts_flat = counts_flat.at[node].add(jnp.int16(spc))
 
     return N3Tree(
@@ -497,13 +501,10 @@ def expand_voxels_jit(tree: N3Tree, params, grid_dim, min_position,
                              opt.appearance_embedding, jnp.float32))
     samples = jnp.concatenate(cols, axis=-1).reshape(K * N3 * spc, -1)
 
-    gd = grid_dim.astype(jnp.float32)
+    from ..models.meganerf import cluster_ids_from_yz
     flat_xyz = xyz.reshape(K * N3 * spc, 3)
-    g1 = jnp.clip((flat_xyz[:, 1] - min_position[1]) / pos_range[1] * gd[0],
-                  0.0, gd[0] - 1.0).astype(jnp.int32)
-    g2 = jnp.clip((flat_xyz[:, 2] - min_position[2]) / pos_range[2] * gd[1],
-                  0.0, gd[1] - 1.0).astype(jnp.int32)
-    cluster_ids = g1 * grid_dim[1] + g2
+    cluster_ids = cluster_ids_from_yz(flat_xyz[:, 1], flat_xyz[:, 2],
+                                      grid_dim, min_position, pos_range)
 
     results = mlp_apply(params, cluster_ids, samples)
     new_data = jnp.mean(

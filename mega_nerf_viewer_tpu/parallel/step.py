@@ -35,8 +35,19 @@ from .model import tp_param_specs, mlp_forward_all_tp
 
 def make_frame_refine_step(mesh: Mesh, opt: RenderOptions):
     """Build the jitted step: (tree, params, model_meta, rays, key) ->
-    (image_rgba [R,4], tree, visit_tracker, n_added)."""
+    (image_rgba [R,4], tree, visit_tracker, n_added).
 
+    Raises ValueError up front when the refinement fill's sample batch
+    (``split_batch_size * N3 * samples_per_corner``, N3 = 8) does not
+    divide the ``rays`` mesh axis — the shard_map inside would
+    otherwise fail at trace time with an opaque sharding error."""
+    dp = mesh.shape[RAY_AXIS]
+    fill_rows = opt.split_batch_size * 8 * opt.samples_per_corner
+    if fill_rows % dp:
+        raise ValueError(
+            f"split_batch_size*8*samples_per_corner ({fill_rows}) must "
+            f"divide the '{RAY_AXIS}' mesh axis ({dp}); adjust "
+            f"split_batch_size or samples_per_corner")
 
     def step(tree: N3Tree, params: MLPParams, grid_dim, min_position,
              pos_range, dirs, vdirs, cen, visit_tracker, key):

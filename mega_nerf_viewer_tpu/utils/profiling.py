@@ -38,10 +38,17 @@ def annotate(name: str):
 
 
 class FrameStats:
-    """Structured per-frame metrics with JSONL export."""
+    """Structured per-frame metrics with JSONL export.
 
-    def __init__(self, sink: Optional[str] = None):
+    In-memory history is BOUNDED (``max_frames``, default 100k ≈ a few
+    MB): long interactive sessions keep the newest records for
+    ``summary()`` while the JSONL sink (if any) receives every record.
+    Usable as a context manager; ``close()`` releases the sink fd."""
+
+    def __init__(self, sink: Optional[str] = None,
+                 max_frames: int = 100_000):
         self.frames = []
+        self._max_frames = max_frames
         self._sink = open(sink, "a") if sink else None
 
     def record(self, width: int, height: int, seconds: float, **extra):
@@ -53,10 +60,24 @@ class FrameStats:
             rays_per_sec=(width * height / seconds) if seconds > 0 else 0.0,
             **extra)
         self.frames.append(rec)
+        if len(self.frames) > self._max_frames:
+            del self.frames[:len(self.frames) - self._max_frames]
         if self._sink:
             self._sink.write(json.dumps(rec) + "\n")
             self._sink.flush()
         return rec
+
+    def close(self):
+        if self._sink:
+            self._sink.close()
+            self._sink = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def summary(self) -> dict:
         if not self.frames:
