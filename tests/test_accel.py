@@ -732,3 +732,28 @@ def test_fast_matches_exact_rgba_format():
         capacity=t.capacity, N=t.N, data_dim=t.data_dim,
         data_format=DataFormat("RGBA", -1))
     _check(t, RenderOptions(), _cam(10, 10, 14.0))
+
+
+def test_fast_matches_exact_random_option_combos():
+    """Randomized option COMBINATIONS (depth mode x bbox x thresholds x
+    rot_dirs x basis trimming x background): each knob has its own
+    parity test, but interaction bugs only show when they stack."""
+    rng = np.random.RandomState(42)
+    for trial in range(6):
+        basis_dim = (1, 4, 9)[trial % 3]
+        tree = random_tree(n_chunks=60, basis_dim=basis_dim,
+                           seed=100 + trial, density=1.0)
+        lo = float(rng.uniform(0.0, 0.2, 3).min())
+        bbox = (lo, lo, lo) + tuple(rng.uniform(0.7, 1.0, 3))
+        bmin = int(rng.randint(0, basis_dim))
+        bmax = int(rng.randint(bmin, basis_dim))
+        opt = RenderOptions(
+            render_depth=bool(trial % 2),
+            sigma_thresh=float(rng.choice([0.0, 1e-2, 0.3])),
+            stop_thresh=float(rng.choice([0.0, 1e-2])),
+            step_size=float(rng.choice([1e-4, 1e-3])),
+            background_brightness=float(rng.rand()),
+            render_bbox=tuple(float(b) for b in bbox),
+            rot_dirs=tuple(float(r) for r in rng.randn(3) * 0.3),
+            basis_minmax=(bmin, bmax))
+        _check(tree, opt, _cam(8, 8, 10.0))
