@@ -511,3 +511,44 @@ def test_compact_composite_rgba_format():
         jnp.asarray(res_p), jnp.asarray(z_p), jnp.asarray(ns),
         jnp.asarray(vd), opt, 1, False))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_guided_fast_matches_exact_option_combos():
+    """Randomized option combinations through BOTH guided collectors:
+    the compact fast pipeline must reproduce the exact path's sample
+    counts and composited pixels when viewdir/appearance/bbox/budget
+    knobs stack."""
+    from mega_nerf_viewer_tpu.ops import accel
+    rng = np.random.RandomState(9)
+    for trial in range(3):
+        basis_dim = (1, 4)[trial % 2]
+        tree = sphere_tree(basis_dim=basis_dim, depth=3)
+        need_vd = bool(trial % 2)
+        app = -1 if trial == 0 else 2
+        data_dim = 3 * basis_dim + 1
+        model = MegaNeRFModel.synthetic(
+            data_dim=data_dim, n_clusters=4, grid_dim=(2, 2),
+            min_position=(-2, -2, -2), max_position=(2, 2, 2),
+            need_viewdir=need_vd,
+            need_appearance_embedding=app != -1)
+        opt = RenderOptions(
+            max_guided_samples=int(rng.choice([4, 16])),
+            need_viewdir=need_vd,
+            appearance_embedding=app,
+            sigma_thresh=float(rng.choice([0.0, 1e-2])),
+            rot_dirs=tuple(float(r) for r in rng.randn(3) * 0.2),
+            background_brightness=float(rng.rand()))
+        cam = Camera(10, 8, 12.0)
+        cam.center = np.array([-1.5, 0.1, 1.4], f32)
+        cam._update()
+        lm = accel.build_leaf_map(tree)
+        exact, _ = guided.collect_and_query(tree, model, cam, opt)
+        fast = guided.collect_and_query_fast(tree, lm, model, cam, opt,
+                                             chunk_size=0)
+        np.testing.assert_array_equal(
+            np.asarray(fast["num_samples"]),
+            np.asarray(exact["num_samples"]), err_msg=f"trial {trial}")
+        img_e = np.asarray(guided.composite_frame(tree, cam, opt, exact))
+        img_f = np.asarray(guided.composite_frame(tree, cam, opt, fast))
+        np.testing.assert_allclose(img_f, img_e, atol=2e-4,
+                                   err_msg=f"trial {trial}")
