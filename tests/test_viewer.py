@@ -697,3 +697,34 @@ def test_guided_with_turbo_map_close_to_exact():
     b = np.asarray(b_v.render())
     assert np.isfinite(b).all()
     np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_viewer_mode_matrix_under_motion():
+    """Chaos sweep: overflow policies x approximate modes x guided,
+    driven through a short orbit.  Every combination must produce
+    finite frames and settle back to repeatable output when parked
+    (pairwise coverage exists; this catches stacked-mode breakage)."""
+    configs = [
+        dict(policy="sync", fov=1, turbo=False, guided=False),
+        dict(policy="async", fov=2, turbo=True, guided=False),
+        dict(policy="device", fov=1, turbo=False, guided=False),
+        dict(policy="async", fov=2, turbo=False, guided=True),
+    ]
+    for cfg in configs:
+        opts = dict(split_batch_size=16)
+        if cfg["guided"]:
+            opts.update(use_guided_sampling=True, max_guided_samples=8)
+        v = _viewer(w=32, h=24, **opts)
+        v.overflow_policy = cfg["policy"]
+        v.foveation = cfg["fov"]
+        v.use_turbo_map = cfg["turbo"]
+        v.fast_chunk_size = 128
+        for _ in range(3):
+            v.camera.begin_drag(0, 0, False, True)
+            v.camera.drag_update(2.0, 0.0)
+            v.camera.end_drag()
+            img = v.render()
+            assert np.isfinite(img).all(), cfg
+        a = np.asarray(v.render())
+        b = np.asarray(v.render())
+        assert np.array_equal(a, b), f"parked frames unstable: {cfg}"
