@@ -56,3 +56,11 @@ __all__ = [
     "load_tree",
     "Viewer",
 ]
+
+
+def __getattr__(name):
+    # lazy: web pulls in http.server/threading only when used
+    if name in ("WebViewer", "serve"):
+        from . import web
+        return getattr(web, name)
+    raise AttributeError(name)

@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approximate foveated mode: periphery rendered "
                         "at 1/N resolution, center window exact "
                         "(1 = off)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve an interactive browser viewer on PORT "
+                        "(the GLFW/ImGui window equivalent; 0 = "
+                        "ephemeral port) instead of rendering frames")
+    p.add_argument("--host", type=str, default="127.0.0.1",
+                   help="bind address for --serve")
     return p
 
 
@@ -155,6 +161,15 @@ def main(argv=None) -> int:
                    if max_cap else None)
     else:
         print("No octree file given; rendering background only.")
+
+    if args.serve is not None:
+        from .web import WebViewer
+        wv = WebViewer(viewer, host=args.host, port=args.serve)
+        port = wv.start()
+        print(f"Serving interactive viewer at http://{args.host}:{port}/"
+              f" (ctrl-c to stop)")
+        wv.serve_forever()
+        return 0
 
     render_one = viewer.render
     if args.sharded and viewer.tree is not None:

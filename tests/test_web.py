@@ -1,0 +1,249 @@
+"""Interactive web viewer: HTTP round-trips against a live server.
+
+Covers the app-shell surface the reference provides through GLFW/ImGui
+(``main.cpp:63-262`` panel, ``:268-420`` input callbacks) as served by
+``mega_nerf_viewer_tpu.web``: frame long-poll, input events, panel
+option edits, camera edits, screenshot, open-tree, error reporting and
+read-your-writes consistency.
+"""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mega_nerf_viewer_tpu import Camera, RenderOptions, Viewer
+from mega_nerf_viewer_tpu.n3tree import sphere_tree
+from mega_nerf_viewer_tpu.utils.png import decode_png
+from mega_nerf_viewer_tpu.web import WebViewer
+
+
+@pytest.fixture(scope="module")
+def server():
+    tree = sphere_tree(basis_dim=1, depth=3, max_capacity=3000)
+    cam = Camera(16, 16, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    viewer = Viewer(tree, camera=cam, options=RenderOptions(),
+                    max_tree_capacity=3000)
+    wv = WebViewer(viewer, port=0)
+    port = wv.start()
+    yield wv, f"http://127.0.0.1:{port}"
+    wv.stop()
+
+
+def _get(url, timeout=60):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _post(url, payload, timeout=60):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _state(base):
+    return json.loads(_get(base + "/state")[2])
+
+
+def test_index_page(server):
+    _, base = server
+    status, headers, body = _get(base + "/")
+    assert status == 200
+    assert b"mega-nerf-viewer-tpu" in body
+    assert "text/html" in headers["Content-Type"]
+
+
+def test_first_frame_long_poll(server):
+    _, base = server
+    status, headers, body = _get(base + "/frame?after=-1")
+    assert status == 200
+    gen = int(headers["X-Gen"])
+    assert gen >= 1
+    img = decode_png(body)
+    assert img.shape == (16, 16, 4)
+    assert img[..., 3].max() > 128          # sphere visible
+
+
+def test_frame_poll_times_out_when_static(server):
+    _, base = server
+    # no pending events: a tiny-timeout poll for a future gen -> 204
+    gen = _state(base)["gen"]
+    status, headers, body = _get(f"{base}/frame?after={gen}&timeout=0.2")
+    assert status == 204
+    assert body == b""
+
+
+def test_state_contents(server):
+    _, base = server
+    s = _state(base)
+    assert s["backend"] == "CPU"          # conftest forces CPU
+    assert s["tree"]["capacity"] > 0
+    assert s["tree"]["max_capacity"] == 3000
+    assert s["camera"]["width"] == 16
+    assert s["options"]["step_size"] == pytest.approx(1e-4)
+    assert s["viewer"]["overflow_policy"] == "sync"
+
+
+def test_key_event_moves_camera(server):
+    _, base = server
+    c0 = _state(base)["camera"]["center"]
+    status, res = _post(base + "/event", {"t": "key", "key": "W"})
+    assert status == 200 and res["applied"] and not res["error"]
+    c1 = _state(base)["camera"]["center"]
+    assert c0 != c1
+
+
+def test_event_renders_new_frame(server):
+    _, base = server
+    gen0 = _state(base)["gen"]
+    _post(base + "/event", {"t": "key", "key": "S"})
+    status, headers, body = _get(f"{base}/frame?after={gen0}")
+    assert status == 200
+    assert int(headers["X-Gen"]) > gen0
+    decode_png(body)
+
+
+def test_mouse_drag_orbits(server):
+    _, base = server
+    c0 = np.asarray(_state(base)["camera"]["center"])
+    events = [
+        {"t": "mouse", "button": "right", "pressed": True,
+         "x": 8.0, "y": 8.0},
+        {"t": "cursor", "x": 10.0, "y": 8.0},
+        {"t": "mouse", "button": "right", "pressed": False,
+         "x": 10.0, "y": 8.0},
+    ]
+    status, res = _post(base + "/event", events)
+    assert status == 200 and res["applied"]
+    c1 = np.asarray(_state(base)["camera"]["center"])
+    # right-drag orbits about the origin: center moves, radius constant
+    o = np.asarray(_state(base)["camera"]["origin"])
+    assert not np.allclose(c0, c1)
+    assert np.linalg.norm(c0 - o) == pytest.approx(
+        np.linalg.norm(c1 - o), rel=1e-4)
+
+
+def test_scroll_zooms(server):
+    _, base = server
+    c0 = np.asarray(_state(base)["camera"]["center"])
+    _post(base + "/event", {"t": "scroll", "dy": 1})
+    c1 = np.asarray(_state(base)["camera"]["center"])
+    assert not np.allclose(c0, c1)
+
+
+def test_options_roundtrip(server):
+    _, base = server
+    status, res = _post(base + "/event", {
+        "t": "options", "background_brightness": 0.25,
+        "render_bbox": [0.1, 0.0, 0.0, 1.0, 1.0, 0.9],
+        "show_grid": True, "grid_max_depth": 2})
+    assert status == 200 and not res["error"]
+    s = _state(base)
+    assert s["options"]["background_brightness"] == pytest.approx(0.25)
+    assert s["options"]["render_bbox"][0] == pytest.approx(0.1)
+    assert s["options"]["show_grid"] is True
+    # restore
+    _post(base + "/event", {"t": "options", "background_brightness": 1.0,
+                            "render_bbox": [0, 0, 0, 1, 1, 1],
+                            "show_grid": False})
+
+
+def test_camera_edit_normalizes_dirs(server):
+    _, base = server
+    status, res = _post(base + "/event",
+                        {"t": "camera", "v_world_up": [0, 0, 5]})
+    assert status == 200 and not res["error"]
+    assert _state(base)["camera"]["v_world_up"] == [0.0, 0.0, 1.0]
+
+
+def test_viewer_knob_roundtrip(server):
+    _, base = server
+    _post(base + "/event", {"t": "viewer", "overflow_policy": "async",
+                            "foveation": 2})
+    s = _state(base)["viewer"]
+    assert s["overflow_policy"] == "async" and s["foveation"] == 2
+    _post(base + "/event", {"t": "viewer", "overflow_policy": "sync",
+                            "foveation": 1})
+
+
+def test_bad_event_reports_error(server):
+    _, base = server
+    status, res = _post(base + "/event", {"t": "options", "nope": 1})
+    assert status == 500
+    assert "nope" in res["error"]
+    # server recovers: a good event clears the error
+    status, res = _post(base + "/event", {"t": "render"})
+    assert status == 200 and not res["error"]
+
+
+def test_bad_json_is_400(server):
+    _, base = server
+    req = urllib.request.Request(
+        base + "/event", data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc.value.code == 400
+
+
+def test_screenshot_endpoints(server, tmp_path):
+    wv, base = server
+    # browser-side: /screenshot.png attachment
+    status, headers, body = _get(base + "/screenshot.png")
+    assert status == 200
+    assert "attachment" in headers["Content-Disposition"]
+    img = decode_png(body)
+    # server-side: screenshot event writes a PNG at the given path
+    path = str(tmp_path / "shot.png")
+    status, res = _post(base + "/event", {"t": "screenshot", "path": path})
+    assert status == 200 and os.path.exists(path)
+    disk = decode_png(open(path, "rb").read())
+    assert disk.shape == img.shape
+
+
+def test_resize(server):
+    _, base = server
+    _post(base + "/event", {"t": "resize", "width": 20, "height": 12})
+    s = _state(base)
+    assert (s["camera"]["width"], s["camera"]["height"]) == (20, 12)
+    status, headers, body = _get(f"{base}/frame?after={s['gen'] - 1}")
+    assert decode_png(body).shape == (12, 20, 4)
+    _post(base + "/event", {"t": "resize", "width": 16, "height": 16})
+
+
+def test_open_tree_event(server, tmp_path):
+    _, base = server
+    path = str(tmp_path / "tree.npz")
+    sphere_tree(basis_dim=1, depth=2, max_capacity=100).save_npz(path)
+    status, res = _post(base + "/event", {"t": "open", "path": path,
+                                          "max_capacity": 100})
+    assert status == 200 and not res["error"]
+    s = _state(base)
+    assert s["tree"]["max_capacity"] == 100
+    # missing file surfaces as an error, server stays up
+    status, res = _post(base + "/event",
+                        {"t": "open", "path": "/nonexistent.npz"})
+    assert status == 500 and res["error"]
+    assert _state(base)["tree"] is not None
+
+
+def test_404(server):
+    _, base = server
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(server[1] + "/bogus", timeout=30)
+    assert exc.value.code == 404
+
+
+def test_unknown_event_type(server):
+    _, base = server
+    status, res = _post(base + "/event", {"t": "teleport"})
+    assert status == 500 and "teleport" in res["error"]
