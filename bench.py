@@ -15,7 +15,33 @@ import time
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """Run a trivial jax op in a subprocess with a hard timeout.
+
+    The axon dev tunnel can die in a way that makes ANY jax call hang
+    forever (even ``jax.devices()``), which would turn this benchmark
+    into an unbounded hang for whoever drives it.  A subprocess probe
+    is the only reliable detector — in-process timeouts can't interrupt
+    a stuck PJRT call.  Real hardware and CPU answer in seconds.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.arange(8).sum()))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        print("bench.py: accelerator backend unresponsive (trivial jax "
+              "op hung >120s — dead device tunnel?); aborting instead "
+              "of hanging", file=sys.stderr)
+        return 3
     import jax
     import jax.numpy as jnp
     from mega_nerf_viewer_tpu.camera import Camera
@@ -246,4 +272,4 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
