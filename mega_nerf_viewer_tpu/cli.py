@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of frames to render")
     p.add_argument("--orbit", action="store_true",
                    help="orbit the camera about --origin across --frames")
+    p.add_argument("--fps", type=float, default=30.0,
+                   help="playback rate for animated output (-o *.apng)")
     p.add_argument("--render_depth", action="store_true")
     p.add_argument("--use_splitting", action="store_true",
                    help="dynamic octree refinement (GUI key M)")
@@ -182,6 +184,8 @@ def main(argv=None) -> int:
             viewer.fps.tick()
             return np.asarray(img)
 
+    animate = args.output.endswith(".apng")
+    anim_frames = []
     t0 = time.perf_counter()
     for f in range(args.frames):
         if args.orbit and args.frames > 1 and f:
@@ -197,14 +201,19 @@ def main(argv=None) -> int:
                 -step * span / (2.0 * viewer.camera.movement_speed), 0.0)
             viewer.camera.end_drag()
         img = render_one()
-        if args.frames > 1:
-            out = args.output.replace(".png", "") + f"_{f:04d}.png"
-        else:
-            out = args.output
         from .ops.render import to_rgba8
         from .utils.png import write_png
         import jax.numpy as jnp
-        write_png(out, np.asarray(to_rgba8(jnp.asarray(img))))
+        rgba8 = np.asarray(to_rgba8(jnp.asarray(img)))
+        if animate:
+            anim_frames.append(rgba8)
+        else:
+            out = (args.output.replace(".png", "") + f"_{f:04d}.png"
+                   if args.frames > 1 else args.output)
+            write_png(out, rgba8)
+    if animate:
+        from .utils.png import write_apng
+        write_apng(args.output, anim_frames, fps=args.fps)
     dt = time.perf_counter() - t0
     print(f"Rendered {args.frames} frame(s) at "
           f"{camera.width}x{camera.height} in {dt:.3f}s "

@@ -81,3 +81,112 @@ def read_png(path: str) -> np.ndarray:
     """Read back PNGs written by :func:`write_png` (tests only)."""
     with open(path, "rb") as f:
         return decode_png(f.read())
+
+
+def encode_apng(frames, fps: float = 30.0, loops: int = 0,
+                compress_level: int = 1) -> bytes:
+    """Encode uint8 RGB(A) frames ``[H, W, 3|4]`` as an animated PNG.
+
+    New capability beyond the reference (which only writes single-frame
+    screenshots, ``imwrite.cpp:11-68``): orbit-trajectory renders can
+    ship as one self-playing file.  APNG keeps the PNG writer's
+    dependency-free fast-path encoding (filter 0 + zlib level 1); every
+    frame is a full-frame replace (dispose 0 / blend source), the
+    layout every browser plays.
+    """
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    h, w, c = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, c) or f.dtype != np.uint8:
+            raise ValueError("all frames must be uint8 [H, W, C] of "
+                             "one shape")
+    if c not in (3, 4):
+        raise ValueError("encode_apng expects [H, W, 3|4] frames")
+    color_type = 6 if c == 4 else 2
+    # delay as a fraction; denominator 1000 covers any sane fps
+    delay_num = max(1, int(round(1000.0 / max(fps, 1e-3))))
+
+    out = [b"\x89PNG\r\n\x1a\n",
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
+                                       0, 0, 0)),
+           _chunk(b"acTL", struct.pack(">II", len(frames), loops))]
+    seq = 0
+    for i, frame in enumerate(frames):
+        out.append(_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, 1000, 0, 0)))
+        seq += 1
+        raw = b"".join(b"\x00" + frame[row].tobytes() for row in range(h))
+        data = zlib.compress(raw, compress_level)
+        if i == 0:
+            # the first frame is also the default (still) image
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def write_apng(path: str, frames, fps: float = 30.0, loops: int = 0,
+               compress_level: int = 1) -> bool:
+    """Write an animated PNG of uint8 RGB(A) frames."""
+    try:
+        with open(path, "wb") as f:
+            f.write(encode_apng(frames, fps, loops, compress_level))
+        return True
+    except OSError:
+        return False
+
+
+def decode_apng(blob: bytes):
+    """Decode APNGs produced by :func:`encode_apng` (tests only).
+
+    Returns ``(frames, fps, loops)`` for full-frame dispose-0/blend-0
+    animations (the only layout the encoder emits)."""
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = c = None
+    fps, loops, n_frames = 30.0, 0, 1
+    streams = []           # one compressed stream per frame
+    expect_seq = 0
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit, color_type = struct.unpack(">IIBB", payload[:10])
+            assert bit == 8
+            c = 4 if color_type == 6 else 3
+        elif tag == b"acTL":
+            n_frames, loops = struct.unpack(">II", payload)
+        elif tag == b"fcTL":
+            (seq, fw, fh, x0, y0, dnum, dden, dispose,
+             blend) = struct.unpack(">IIIIIHHBB", payload)
+            assert seq == expect_seq, "fcTL out of sequence"
+            expect_seq += 1
+            assert (fw, fh, x0, y0) == (w, h, 0, 0), "sub-frame APNG"
+            assert dispose == 0 and blend == 0
+            fps = dden / max(dnum, 1)
+            streams.append(b"")
+        elif tag == b"IDAT":
+            streams[-1] += payload
+        elif tag == b"fdAT":
+            (seq,) = struct.unpack(">I", payload[:4])
+            assert seq == expect_seq, "fdAT out of sequence"
+            expect_seq += 1
+            streams[-1] += payload[4:]
+        pos += 12 + length
+    assert len(streams) == n_frames
+    stride = w * c + 1
+    frames = []
+    for s in streams:
+        raw = zlib.decompress(s)
+        rows = []
+        for row in range(h):
+            line = raw[row * stride:(row + 1) * stride]
+            assert line[0] == 0, "only filter 0 supported"
+            rows.append(np.frombuffer(line[1:], np.uint8))
+        frames.append(np.stack(rows).reshape(h, w, c))
+    return frames, fps, loops

@@ -117,3 +117,53 @@ def test_cli_render_depth_and_bounds_only(tmp_path):
     assert rc == 0
     img = read_png(out)
     assert img.shape == (8, 8, 4)
+
+
+def test_apng_roundtrip(tmp_path, rng):
+    from mega_nerf_viewer_tpu.utils.png import (write_apng, decode_apng,
+                                                encode_apng)
+    frames = [(rng.rand(6, 5, 4) * 255).astype(np.uint8)
+              for _ in range(4)]
+    path = str(tmp_path / "a.apng")
+    assert write_apng(path, frames, fps=20.0, loops=2)
+    back, fps, loops = decode_apng(open(path, "rb").read())
+    assert len(back) == 4 and fps == pytest.approx(20.0) and loops == 2
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    # the default image (plain-PNG view) is frame 0
+    from mega_nerf_viewer_tpu.utils.png import decode_png
+    assert (decode_png(encode_apng(frames)) == frames[0]).all()
+    # RGB frames work too
+    rgb = [f[..., :3].copy() for f in frames]
+    back, _, _ = decode_apng(encode_apng(rgb))
+    assert back[0].shape == (6, 5, 3)
+
+
+def test_apng_rejects_bad_input():
+    from mega_nerf_viewer_tpu.utils.png import encode_apng
+    with pytest.raises(ValueError):
+        encode_apng([])
+    with pytest.raises(ValueError):
+        encode_apng([np.zeros((4, 4, 4), np.uint8),
+                     np.zeros((4, 5, 4), np.uint8)])
+    with pytest.raises(ValueError):
+        encode_apng([np.zeros((4, 4, 4), np.float32)])
+
+
+def test_cli_orbit_apng(tmp_path):
+    from mega_nerf_viewer_tpu.cli import main
+    from mega_nerf_viewer_tpu.n3tree import sphere_tree
+    from mega_nerf_viewer_tpu.utils.png import decode_apng
+    t = sphere_tree(basis_dim=1, depth=2)
+    src = str(tmp_path / "in.npz")
+    t.save_npz(src)
+    out = str(tmp_path / "orbit.apng")
+    rc = main([src, "-w", "8", "--height", "8", "--fx", "10",
+               "--frames", "3", "--orbit", "--fps", "12", "-o", out])
+    assert rc == 0
+    frames, fps, loops = decode_apng(open(out, "rb").read())
+    assert len(frames) == 3 and loops == 0
+    assert fps == pytest.approx(12.0, rel=0.05)
+    assert frames[0].shape == (8, 8, 4)
+    # the orbit actually moved the camera between frames
+    assert any((frames[0] != f).any() for f in frames[1:])
