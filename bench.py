@@ -15,32 +15,51 @@ import time
 import numpy as np
 
 
-def _probe_backend(timeout_s: float = 120.0) -> bool:
+def _probe_backend(timeout_s: float = 240.0):
     """Run a trivial jax op in a subprocess with a hard timeout.
 
     The axon dev tunnel can die in a way that makes ANY jax call hang
     forever (even ``jax.devices()``), which would turn this benchmark
     into an unbounded hang for whoever drives it.  A subprocess probe
     is the only reliable detector — in-process timeouts can't interrupt
-    a stuck PJRT call.  Real hardware and CPU answer in seconds.
+    a stuck PJRT call.  The probe imports the package first so the
+    persistent compile cache is enabled (a cold remote-compile queue
+    can take minutes; the cached trivial op answers in seconds).
+
+    Returns None when healthy, else a one-line diagnosis.
     """
+    import os
     import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c",
+             "import mega_nerf_viewer_tpu;"
              "import jax, jax.numpy as jnp;"
              "print(float(jnp.arange(8).sum()))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired:
-        return False
+        return (f"trivial jax op hung >{timeout_s:.0f}s — dead device "
+                "tunnel?")
+    if r.returncode != 0:
+        tail = r.stderr.decode(errors="replace").strip().splitlines()
+        return ("backend probe subprocess failed: "
+                + ("; ".join(tail[-3:]) if tail else f"rc={r.returncode}"))
+    return None
 
 
 def main():
-    if not _probe_backend():
-        print("bench.py: accelerator backend unresponsive (trivial jax "
-              "op hung >120s — dead device tunnel?); aborting instead "
-              "of hanging", file=sys.stderr)
+    err = _probe_backend()
+    if err is not None:
+        # keep the driver contract (ONE JSON line on stdout) even when
+        # aborting: an explicit structured error beats an infinite hang
+        print(json.dumps({
+            "metric": "frames_per_sec_1080p", "value": 0.0,
+            "unit": "fps", "vs_baseline": 0.0,
+            "error": f"accelerator backend unresponsive: {err}",
+        }))
+        print(f"bench.py: {err}; aborting instead of hanging",
+              file=sys.stderr)
         return 3
     import jax
     import jax.numpy as jnp

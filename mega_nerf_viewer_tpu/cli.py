@@ -184,8 +184,10 @@ def main(argv=None) -> int:
             viewer.fps.tick()
             return np.asarray(img)
 
-    animate = args.output.endswith(".apng")
-    anim_frames = []
+    animate = None
+    if args.output.endswith(".apng"):
+        from .utils.png import ApngEncoder
+        animate = ApngEncoder(fps=args.fps)
     t0 = time.perf_counter()
     for f in range(args.frames):
         if args.orbit and args.frames > 1 and f:
@@ -205,15 +207,15 @@ def main(argv=None) -> int:
         from .utils.png import write_png
         import jax.numpy as jnp
         rgba8 = np.asarray(to_rgba8(jnp.asarray(img)))
-        if animate:
-            anim_frames.append(rgba8)
+        if animate is not None:
+            animate.add(rgba8)
         else:
             out = (args.output.replace(".png", "") + f"_{f:04d}.png"
                    if args.frames > 1 else args.output)
             write_png(out, rgba8)
-    if animate:
-        from .utils.png import write_apng
-        write_apng(args.output, anim_frames, fps=args.fps)
+    if animate is not None and not animate.write(args.output):
+        print(f"Failed to write {args.output}", file=sys.stderr)
+        return 1
     dt = time.perf_counter() - t0
     print(f"Rendered {args.frames} frame(s) at "
           f"{camera.width}x{camera.height} in {dt:.3f}s "

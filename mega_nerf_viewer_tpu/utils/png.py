@@ -18,22 +18,31 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
+def _filter_compress(image: np.ndarray, compress_level: int) -> bytes:
+    """Validate + filter (type 0) + zlib-compress one uint8 frame."""
+    image = np.asarray(image)
+    if image.dtype != np.uint8:
+        raise ValueError("PNG encoding expects uint8")
+    if image.ndim != 3 or image.shape[2] not in (3, 4):
+        raise ValueError("PNG encoding expects [H, W, 3|4]")
+    raw = b"".join(
+        b"\x00" + image[row].tobytes() for row in range(image.shape[0]))
+    return zlib.compress(raw, compress_level)
+
+
+def _ihdr(w: int, h: int, c: int) -> bytes:
+    return _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
+                                       6 if c == 4 else 2, 0, 0, 0))
+
+
 def encode_png(image: np.ndarray, compress_level: int = 1) -> bytes:
     """Encode an RGB(A) uint8 image ``[H, W, 3|4]`` to PNG bytes."""
     image = np.asarray(image)
-    if image.dtype != np.uint8:
-        raise ValueError("encode_png expects uint8")
-    if image.ndim != 3 or image.shape[2] not in (3, 4):
-        raise ValueError("encode_png expects [H, W, 3|4]")
+    data = _filter_compress(image, compress_level)
     h, w, c = image.shape
-    color_type = 6 if c == 4 else 2
-    raw = b"".join(
-        b"\x00" + image[row].tobytes() for row in range(h))
-    data = zlib.compress(raw, compress_level)
     return b"".join([
         b"\x89PNG\r\n\x1a\n",
-        _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
-                                    0, 0, 0)),
+        _ihdr(w, h, c),
         _chunk(b"IDAT", data),
         _chunk(b"IEND", b""),
     ])
@@ -83,50 +92,78 @@ def read_png(path: str) -> np.ndarray:
         return decode_png(f.read())
 
 
-def encode_apng(frames, fps: float = 30.0, loops: int = 0,
-                compress_level: int = 1) -> bytes:
-    """Encode uint8 RGB(A) frames ``[H, W, 3|4]`` as an animated PNG.
+class ApngEncoder:
+    """Incremental animated-PNG encoder for uint8 RGB(A) frames.
 
     New capability beyond the reference (which only writes single-frame
     screenshots, ``imwrite.cpp:11-68``): orbit-trajectory renders can
     ship as one self-playing file.  APNG keeps the PNG writer's
     dependency-free fast-path encoding (filter 0 + zlib level 1); every
     frame is a full-frame replace (dispose 0 / blend source), the
-    layout every browser plays.
+    layout every browser plays.  Frames compress as they are added, so
+    a long orbit holds ~MBs of compressed streams rather than the raw
+    rgba8 series (~1 GB for 120 frames at 1080p).
     """
-    frames = [np.asarray(f) for f in frames]
-    if not frames:
-        raise ValueError("encode_apng needs at least one frame")
-    h, w, c = frames[0].shape
-    for f in frames:
-        if f.shape != (h, w, c) or f.dtype != np.uint8:
+
+    def __init__(self, fps: float = 30.0, loops: int = 0,
+                 compress_level: int = 1):
+        self.fps = fps
+        self.loops = loops
+        self.compress_level = compress_level
+        self._shape = None
+        self._streams = []
+
+    def add(self, frame: np.ndarray) -> None:
+        frame = np.asarray(frame)
+        if self._shape is None:
+            self._shape = frame.shape
+        elif frame.shape != self._shape:
             raise ValueError("all frames must be uint8 [H, W, C] of "
                              "one shape")
-    if c not in (3, 4):
-        raise ValueError("encode_apng expects [H, W, 3|4] frames")
-    color_type = 6 if c == 4 else 2
-    # delay as a fraction; denominator 1000 covers any sane fps
-    delay_num = max(1, int(round(1000.0 / max(fps, 1e-3))))
+        self._streams.append(_filter_compress(frame,
+                                               self.compress_level))
 
-    out = [b"\x89PNG\r\n\x1a\n",
-           _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
-                                       0, 0, 0)),
-           _chunk(b"acTL", struct.pack(">II", len(frames), loops))]
-    seq = 0
-    for i, frame in enumerate(frames):
-        out.append(_chunk(b"fcTL", struct.pack(
-            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, 1000, 0, 0)))
-        seq += 1
-        raw = b"".join(b"\x00" + frame[row].tobytes() for row in range(h))
-        data = zlib.compress(raw, compress_level)
-        if i == 0:
-            # the first frame is also the default (still) image
-            out.append(_chunk(b"IDAT", data))
-        else:
-            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+    def tobytes(self) -> bytes:
+        if not self._streams:
+            raise ValueError("APNG needs at least one frame")
+        h, w, c = self._shape
+        # delay as a fraction over a 1000 denominator; the u16 numerator
+        # caps the slowest playable rate at 65.535 s/frame
+        delay_num = min(0xFFFF,
+                        max(1, int(round(1000.0 / max(self.fps, 1e-3)))))
+        out = [b"\x89PNG\r\n\x1a\n", _ihdr(w, h, c),
+               _chunk(b"acTL", struct.pack(">II", len(self._streams),
+                                           self.loops))]
+        seq = 0
+        for i, data in enumerate(self._streams):
+            out.append(_chunk(b"fcTL", struct.pack(
+                ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, 1000, 0, 0)))
             seq += 1
-    out.append(_chunk(b"IEND", b""))
-    return b"".join(out)
+            if i == 0:
+                # the first frame is also the default (still) image
+                out.append(_chunk(b"IDAT", data))
+            else:
+                out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+                seq += 1
+        out.append(_chunk(b"IEND", b""))
+        return b"".join(out)
+
+    def write(self, path: str) -> bool:
+        try:
+            with open(path, "wb") as f:
+                f.write(self.tobytes())
+            return True
+        except OSError:
+            return False
+
+
+def encode_apng(frames, fps: float = 30.0, loops: int = 0,
+                compress_level: int = 1) -> bytes:
+    """Encode a list of frames as an animated PNG (see ApngEncoder)."""
+    enc = ApngEncoder(fps, loops, compress_level)
+    for f in frames:
+        enc.add(f)
+    return enc.tobytes()
 
 
 def write_apng(path: str, frames, fps: float = 30.0, loops: int = 0,
