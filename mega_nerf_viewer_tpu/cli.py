@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approximate foveated mode: periphery rendered "
                         "at 1/N resolution, center window exact "
                         "(1 = off)")
+    p.add_argument("--host-unpermute", action="store_true",
+                   help="sorted-frame display delivery: the compiled "
+                        "frame skips its final unpermute and the "
+                        "PNG/web consumer applies the inverse ray "
+                        "order as an index map (bit-identical pixels; "
+                        "less device work per frame)")
     p.add_argument("--serve", type=int, default=None, metavar="PORT",
                    help="serve an interactive browser viewer on PORT "
                         "(the GLFW/ImGui window equivalent; 0 = "
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
     viewer = Viewer(camera=camera, options=options)
     viewer.use_turbo_map = args.turbo
     viewer.foveation = args.foveation
+    viewer.host_unpermute = args.host_unpermute
 
     if args.model_path:
         viewer.load_model(args.model_path)
@@ -173,16 +180,21 @@ def main(argv=None) -> int:
         wv.serve_forever()
         return 0
 
-    render_one = viewer.render
+    # frames flow to PNG as device-quantized rgba8 (render_rgba8: only
+    # the 4x-smaller uint8 crosses to the host, and --host-unpermute's
+    # index-map remap lands here on the host)
+    render_one = viewer.render_rgba8
     if args.sharded and viewer.tree is not None:
+        from .ops.render import to_rgba8
         from .parallel import render_frame_sharded
+        import jax.numpy as jnp
 
         def render_one():
             viewer.camera._update()
             img = render_frame_sharded(
                 viewer.tree, viewer.camera, viewer.options)
             viewer.fps.tick()
-            return np.asarray(img)
+            return np.asarray(to_rgba8(jnp.asarray(img)))
 
     animate = None
     if args.output.endswith(".apng"):
@@ -202,11 +214,8 @@ def main(argv=None) -> int:
             viewer.camera.drag_update(
                 -step * span / (2.0 * viewer.camera.movement_speed), 0.0)
             viewer.camera.end_drag()
-        img = render_one()
-        from .ops.render import to_rgba8
+        rgba8 = render_one()
         from .utils.png import write_png
-        import jax.numpy as jnp
-        rgba8 = np.asarray(to_rgba8(jnp.asarray(img)))
         if animate is not None:
             animate.add(rgba8)
         else:

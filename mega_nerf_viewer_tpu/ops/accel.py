@@ -634,7 +634,7 @@ _FALLBACK_MD = 128
     jax.jit,
     static_argnames=("opt", "width", "seg_counts", "chunk_size", "unroll",
                      "need_votes", "return_hints", "group",
-                     "device_fallback"))
+                     "device_fallback", "sorted_output"))
 def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 perm: jax.Array, inv: jax.Array,
                 transform: jax.Array, intr: jax.Array,
@@ -644,7 +644,8 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 *, opt: RenderOptions, width: int,
                 seg_counts: tuple, chunk_size: int, unroll: int,
                 need_votes: bool, return_hints: bool, group: int = 1,
-                device_fallback: bool = False):
+                device_fallback: bool = False,
+                sorted_output: bool = False):
     """One-dispatch fast frame: raygen -> (prepass) -> per-segment march
     -> unpermute -> background composite, all inside a single jit.
 
@@ -769,7 +770,15 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
     # XLA's gather occasionally lowers jnp.take ~4x slower than the
     # hinted .at[].get on identical shapes (measured 48.6 vs 10.6 ms
     # at [2M, 4] in a fresh process)
-    if group > 1 and R % group == 0:
+    if sorted_output:
+        # display-consumer mode: skip the final unpermute entirely —
+        # rows stay in perm (segment) order and the consumer applies
+        # ``inv`` as an index map at display time (PERFORMANCE.md
+        # roadmap: the [R, 4] gather is a ~10.8 ms per-row device
+        # floor at 1080p).  The background composite is elementwise,
+        # so compositing in sorted space is bit-identical.
+        pass
+    elif group > 1 and R % group == 0:
         ginv = inv[::group] // group
         out = out.reshape(R // group, 4 * group).at[ginv].get(
             unique_indices=True, mode="clip").reshape(R, 4)
@@ -1228,7 +1237,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
                                 skip_table: Optional[jax.Array] = None,
                                 group: int = 1,
                                 device_fallback: bool = False,
-                                return_hints: bool = False):
+                                return_hints: bool = False,
+                                sorted_output: bool = False):
     """Record-sorted segmented fast frame.
 
     ``order`` must come from :func:`order_from_hints` (rays sorted by
@@ -1258,7 +1268,19 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     raises that segment's overflow; the next refresh then re-classes
     it — self-healing with one-frame lag).
 
-    Returns (img [H, W, 4], seg_overflow i32 COUNTS [n_segments],
+    ``sorted_output`` skips the frame's final on-device unpermute and
+    returns the image as FLAT [R, 4] rows in ``perm`` (segment) order —
+    for display consumers that apply ``inv`` as an index map themselves
+    (``img_flat[inv].reshape(h, w, 4)`` recovers the pixel-order frame
+    bit-exactly; the reference has no analogue — its kernel writes
+    pixels in place via surf2Dwrite, renderer_kernel.cu:289-291).  The
+    [R, 4] gather is a per-row device-cost floor (~10.8 ms at 1080p,
+    PERFORMANCE.md), while the same remap on rgba8 is a cheap host
+    u32 gather that overlaps the next frame's device compute.  Votes
+    and hints remain in pixel order regardless.
+
+    Returns (img [H, W, 4] — or flat [R, 4] perm-order rows when
+    ``sorted_output`` — seg_overflow i32 COUNTS [n_segments],
     [split_vote, sample_vote] when need_votes][, fb_overflow when
     device_fallback][, steps, nrec, skips when return_hints]) — votes
     and hints in pixel order.
@@ -1281,6 +1303,10 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
             skip_table=skip_table,
             return_nrec=return_hints, return_skips=return_hints)
         img, overflow = res[0], res[1]
+        if sorted_output:
+            # contract uniformity: rows in perm order, flat [R, 4]
+            # (frames this small make the extra gather negligible)
+            img = img.reshape(R, 4)[perm]
         ov = jnp.broadcast_to(overflow, (len(segments),))
         out = ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
         if device_fallback:
@@ -1298,8 +1324,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
                                   chunk_size=chunk_size),
         chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
         return_hints=return_hints, group=group,
-        device_fallback=device_fallback)
-    img = res["img"].reshape(h, w, 4)
+        device_fallback=device_fallback, sorted_output=sorted_output)
+    img = res["img"] if sorted_output else res["img"].reshape(h, w, 4)
     out = (img, res["seg_overflow"])
     if need_votes:
         out = out + (res["split_vote"], res["sample_vote"])

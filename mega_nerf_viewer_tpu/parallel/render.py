@@ -237,7 +237,8 @@ def _fast_segmented_sharded_program(mesh: Mesh, opt: RenderOptions,
 def render_frame_fast_segmented_sharded(
         tree: N3Tree, leaf_map, camera, opt: RenderOptions,
         order, segments, mesh: Optional[Mesh] = None,
-        chunk_size: int = 1920, skip_table: Optional[jax.Array] = None):
+        chunk_size: int = 1920, skip_table: Optional[jax.Array] = None,
+        sorted_output: bool = False):
     """Record-sorted segmented fast frame, rays sharded over the mesh.
 
     Rays are DEALT to shards at CHUNK granularity: the sorted order is
@@ -256,7 +257,19 @@ def render_frame_fast_segmented_sharded(
     pixel indices; the only cross-chip data movement is the final
     unpermute gather of the [R, 4] output.
 
-    Returns (img [H, W, 4], seg_overflow i32 [n_segments]).
+    ``sorted_output`` skips that gather: the background composite is
+    elementwise (shard-local), so the device program then has NO
+    cross-chip data movement at all — each chip's output rows go
+    straight to the host/display, which applies the returned index
+    map (``rows[index_map].reshape(h, w, 4)`` recovers pixel order
+    bit-exactly).  This is the sharded analogue of the single-chip
+    ``sorted_output`` (ops/accel.render_frame_fast_segmented) and
+    removes the ICI output collective from the per-frame critical
+    path entirely.
+
+    Returns (img [H, W, 4], seg_overflow i32 [n_segments]) — or, when
+    ``sorted_output``, (rows [R_padded, 4] in shard-dealt order,
+    seg_overflow, index_map i32 [R]).
     """
     from ..ops.render import composite_background
     from ..ops.accel import segment_chunks
@@ -293,6 +306,8 @@ def render_frame_fast_segmented_sharded(
     if skip_table is not None:
         args += (skip_table,)
     out, seg_ov = run(*args)
+    if sorted_output:
+        return composite_background(out, opt), seg_ov, inv_str
     out = out.at[inv_str].get(unique_indices=True, mode="clip")
     img = composite_background(out, opt)
     return img.reshape(h, w, 4), seg_ov

@@ -173,6 +173,28 @@ class Viewer:
         # level-6 prepass + 3-key sort; exactly 2048 hits a
         # pathological XLA layout (~+30%% on v5e).
         self.fast_chunk_size = 2176
+        # Sorted-frame display delivery (off by default): the compiled
+        # frame skips its final [R, 4] unpermute — a per-row gather at
+        # its measured device floor (~10.8 ms at 1080p, PERFORMANCE.md
+        # roadmap #2) — and the DISPLAY CONSUMER applies the inverse
+        # ray order as an index map instead: a u32 numpy gather on the
+        # 4x-smaller rgba8 in render_rgba8()/screenshot()/web, or an
+        # f32 numpy gather in render(fetch=True).  Pixels are
+        # bit-identical (the background composite is elementwise, so
+        # compositing in sorted space changes nothing); only WHERE the
+        # remap runs changes — off the device critical path, onto host
+        # time that overlaps the next frame's compute.  Covers the
+        # segmented fast path without votes; every other path keeps
+        # returning pixel order.  Each ray-order refresh fetches the
+        # [R] i32 inverse map to the host once (~1 ms production link;
+        # ~0.25 s through the axon dev tunnel — don't enable for
+        # motion benchmarks THROUGH the tunnel).
+        self.host_unpermute = False
+        self._inv_host = None    # host copy of inv for the current order
+        self._inv_src = None     # strong ref to the inv it was read from
+        #                          (identity-keyed; the ref prevents id
+        #                          reuse serving a stale map)
+        self._frame_sorted = False   # did the LAST frame return sorted?
         # foveated APPROXIMATE mode (off by default, like turbo —
         # never silently on): periphery rendered at 1/foveation
         # resolution through the same fast path (a scaled camera) and
@@ -294,6 +316,7 @@ class Viewer:
         cam = self.camera
         opt = self.options
         cam._update()
+        self._frame_sorted = False
         if self.tree is None:
             bg = opt.background_brightness
             img = np.full((cam.height, cam.width, 4), bg, np.float32)
@@ -391,7 +414,41 @@ class Viewer:
             self._prune_happened = False
 
         self.fps.tick()
+        if self._frame_sorted:
+            if fetch:
+                # display-consumer remap: the host applies the index
+                # map the device skipped (bit-identical pixels)
+                return np.asarray(img)[self._inv_host].reshape(
+                    cam.height, cam.width, 4)
+            # flat [R, 4] rows in perm order; pair with
+            # frame_index_map() (prefer render_rgba8() for display)
+            return jnp.asarray(img)
         return np.asarray(img) if fetch else jnp.asarray(img)
+
+    def frame_index_map(self):
+        """Host inverse ray order (index map) for the last frame when
+        it was delivered sorted (``host_unpermute``), else None —
+        ``flat_frame[frame_index_map()].reshape(h, w, 4)`` recovers
+        pixel order bit-exactly."""
+        return self._inv_host if self._frame_sorted else None
+
+    def render_rgba8(self) -> np.ndarray:
+        """Render one frame delivered as host rgba8 [H, W, 4] — the
+        PNG/web display path.  The frame stays on device through the
+        uint8 quantization so only the 4x-smaller rgba8 crosses to the
+        host (a fetched-f32 + re-upload round trip tripled transfers
+        at 1080p).  Under ``host_unpermute`` quantization runs in
+        sorted space (elementwise) and the index map is applied here
+        as one u32 numpy gather — the display-consumer contract that
+        removes the frame's device-side unpermute."""
+        img = self.render(fetch=False)
+        rgba = np.asarray(to_rgba8(jnp.asarray(img)))
+        if self._frame_sorted:
+            cam = self.camera
+            flat = np.ascontiguousarray(rgba.reshape(-1, 4))
+            rgba = flat.view(np.uint32)[:, 0][self._inv_host] \
+                .view(np.uint8).reshape(cam.height, cam.width, 4)
+        return rgba
 
     # ------------------------------------------------------------------
     def _ensure_maps(self, need_votes: bool = False):
@@ -496,7 +553,17 @@ class Viewer:
         if order is not None:
             segments = getattr(self, "_segments", None) \
                 or list(accel.DEFAULT_SEGMENTS)
+            use_sorted = self.host_unpermute and not need_votes
+            if use_sorted and self._inv_src is not order[1]:
+                # one host fetch of the [R] i32 index map per ray-order
+                # lifetime; the strong ref keys identity safely
+                self._inv_host = np.asarray(order[1])
+                self._inv_src = order[1]
+
             def run_segmented(device_fallback):
+                # a returned segmented frame is in perm order when
+                # sorted delivery is on (fallback paths below reset it)
+                self._frame_sorted = use_sorted
                 return accel.render_frame_fast_segmented(
                     self.tree, self._leaf_map, self.camera, self.options,
                     order=order, segments=tuple(segments),
@@ -505,7 +572,8 @@ class Viewer:
                     dynamic_knobs=self.use_dynamic_knobs,
                     skip_table=skip_table,
                     device_fallback=device_fallback,
-                    return_hints=want_hints)
+                    return_hints=want_hints,
+                    sorted_output=use_sorted)
 
             def unpack(out, has_fb):
                 # (img, seg_ov, [sv, pv], [fb], [steps, nrec, skips])
@@ -573,6 +641,7 @@ class Viewer:
         if order is None:
             # no ordering hints yet (first frame at this resolution):
             # single-segment frame that also returns the hints
+            self._frame_sorted = False       # pixel-order fallback
             md = self.fast_max_dense
             while True:
                 out = accel.render_frame_fast(
@@ -611,6 +680,7 @@ class Viewer:
                     steps, nrec, skips)
             self._order_stale = False
         if overflow:
+            self._frame_sorted = False       # exact-path fallback
             img, res = render_frame(
                 self.tree, self.camera.width, self.camera.height,
                 self.camera.fx, self.camera.fy, self.camera.cx,
@@ -1163,9 +1233,8 @@ class Viewer:
     # ------------------------------------------------------------------
     def screenshot(self, path: str) -> bool:
         """Render + save a PNG (reference save-screenshot dialog,
-        main.cpp:138-162).  The frame stays on device through the
-        uint8 quantization so only the 4x-smaller rgba8 crosses to the
-        host (a fetched-f32 + re-upload round trip tripled transfers
-        at 1080p)."""
-        img = self.render(fetch=False)
-        return write_png(path, np.asarray(to_rgba8(jnp.asarray(img))))
+        main.cpp:138-162).  Delivered through :meth:`render_rgba8`:
+        device-side uint8 quantization (only the 4x-smaller rgba8
+        crosses to the host) and, under ``host_unpermute``, the
+        sorted-frame index-map remap."""
+        return write_png(path, self.render_rgba8())

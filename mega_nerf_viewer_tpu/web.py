@@ -73,7 +73,7 @@ _CAM_VECTORS = ("center", "origin", "v_back", "v_world_up")
 # Viewer execution knobs exposed in the extra "TPU" panel section
 _VIEWER_FLAGS = ("use_fast_path", "use_dynamic_knobs", "use_turbo_map",
                  "use_prepass", "use_device_order", "foveation",
-                 "overflow_policy")
+                 "overflow_policy", "host_unpermute")
 
 
 class WebViewer:
@@ -232,12 +232,13 @@ class WebViewer:
                                   else 0.5)
 
     def _render_publish(self):
-        import jax.numpy as jnp
-        from .ops.render import to_rgba8
-
         v = self.viewer
-        img = v.render(fetch=False)
-        rgba8 = np.asarray(to_rgba8(jnp.asarray(img)))
+        # render_rgba8: device-side quantization + (under the
+        # host_unpermute knob) the sorted-frame index-map remap — this
+        # server is exactly the "display consumer that accepts sorted
+        # tiles + an index map" the device-side unpermute floor calls
+        # for (PERFORMANCE.md roadmap #2)
+        rgba8 = v.render_rgba8()
         png = encode_png(rgba8)
         with self._cv:
             self._frame_png = png
@@ -580,6 +581,8 @@ _PAGE = ("""<!doctype html>
     prepass</label>
    <label class="chk"><input type="checkbox" data-viewer="use_turbo_map">
     turbo</label>
+   <label class="chk">
+    <input type="checkbox" data-viewer="host_unpermute">sorted</label>
   </div>
   <label><span class="k">overflow</span>
    <select data-viewer="overflow_policy">

@@ -757,3 +757,56 @@ def test_fast_matches_exact_random_option_combos():
             rot_dirs=tuple(float(r) for r in rng.randn(3) * 0.3),
             basis_minmax=(bmin, bmax))
         _check(tree, opt, _cam(8, 8, 10.0))
+
+
+def test_sorted_output_matches_unpermuted():
+    """``sorted_output`` skips the device-side unpermute and returns
+    FLAT [R, 4] rows in perm order: ``flat[inv]`` must be BIT-identical
+    to the pixel-order frame (the background composite is elementwise,
+    so compositing in sorted space changes nothing) — for the plain
+    segmented frame, under device_fallback, and through the
+    small-frame degenerate path."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    _, ov0, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True)
+    assert not bool(ov0)
+    order = accel.order_from_hints(steps, nrec)
+    inv = np.asarray(order[1])
+    segs = ((0.5, 2), (0.25, 4), (0.25, 16))
+
+    img, sov = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=cs)
+    flat, sov1 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=cs,
+        sorted_output=True)
+    assert flat.shape == (64 * 64, 4)
+    assert not np.asarray(sov1).any()
+    np.testing.assert_array_equal(
+        np.asarray(flat)[inv].reshape(64, 64, 4), np.asarray(img))
+
+    # device_fallback: both the untaken-cond frame and hints ride along
+    flat2, sov2, fb2, s2, n2, k2 = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=cs,
+        sorted_output=True, device_fallback=True, return_hints=True)
+    assert not np.asarray(sov2).any() and not bool(fb2)
+    np.testing.assert_array_equal(
+        np.asarray(flat2)[inv].reshape(64, 64, 4), np.asarray(img))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(steps))
+
+    # small-frame degenerate path (n_chunks < len(segments)): same
+    # perm-order contract
+    img3, _ = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=4096)
+    flat3, _ = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=4096,
+        sorted_output=True)
+    assert flat3.shape == (64 * 64, 4)
+    np.testing.assert_array_equal(
+        np.asarray(flat3)[inv].reshape(64, 64, 4), np.asarray(img3))

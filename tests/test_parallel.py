@@ -343,3 +343,36 @@ def test_multihost_broadcast_and_sharded_frame(tmp_path):
     gref = np.load(str(tmp_path / "mhg_ref.npy"))
     np.testing.assert_array_equal(ga, gb)
     np.testing.assert_allclose(ga, gref, atol=1e-3)
+
+
+def test_fast_segmented_sharded_sorted_output():
+    """Sorted output on the sharded frame: shard-dealt rows + index map
+    recover the pixel-order sharded frame BIT-exactly, with no
+    cross-chip unpermute in the device program (the composite is
+    elementwise and shard-local)."""
+    from mega_nerf_viewer_tpu import parallel
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    opt = RenderOptions()
+    cam = Camera(32, 32, 24.0)
+    cam.center = np.array([-1.6, 0.3, 1.5], np.float32)
+    cam._update()
+    _, ov0, steps, nrec = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=64, block=8,
+        return_nrec=True)
+    assert not bool(ov0)
+    order = accel.order_from_hints(steps, nrec)
+    mesh = parallel.make_mesh((4,), (parallel.RAY_AXIS,),
+                              jax.devices()[:4])
+    segs = ((0.5, 2), (0.25, 4), (0.25, 16))
+    img, seg_ov = parallel.render_frame_fast_segmented_sharded(
+        tree, lm, cam, opt, order=order, segments=segs, mesh=mesh,
+        chunk_size=64)
+    rows, seg_ov2, idx = parallel.render_frame_fast_segmented_sharded(
+        tree, lm, cam, opt, order=order, segments=segs, mesh=mesh,
+        chunk_size=64, sorted_output=True)
+    assert not np.asarray(seg_ov2).any()
+    np.testing.assert_array_equal(
+        np.asarray(rows)[np.asarray(idx)].reshape(32, 32, 4),
+        np.asarray(img))

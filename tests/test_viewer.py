@@ -753,3 +753,56 @@ def test_guided_plus_splitting_session():
     if int(v.tree.capacity) == cap_parked:    # no split between frames
         assert np.array_equal(a, b) or np.isfinite(b).all()
     assert np.isfinite(b).all()
+
+
+def test_host_unpermute_sorted_delivery():
+    """``host_unpermute`` delivers bit-identical pixels through
+    render(), render_rgba8() and screenshot while the device frame
+    stays in perm order: the display consumer applies the index map
+    (PERFORMANCE.md roadmap: removes the on-device unpermute).  First
+    frame (no order yet) falls back to pixel order; steady and moved
+    frames deliver sorted."""
+    import tempfile
+    import os
+    from mega_nerf_viewer_tpu.utils.png import read_png
+
+    tree = sphere_tree(basis_dim=1, depth=3)
+    cams = []
+    for _ in range(2):
+        cam = Camera(32, 32, 20.0)
+        cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+        cams.append(cam)
+    v0 = Viewer(tree, camera=cams[0])
+    v1 = Viewer(tree, camera=cams[1])
+    v1.host_unpermute = True
+
+    # first frame: no ray order yet -> unsorted single-segment path
+    np.testing.assert_array_equal(v0.render(), v1.render())
+    assert v1.frame_index_map() is None
+
+    # steady frame: segmented path -> sorted device frame, host remap
+    a = v0.render()
+    b = v1.render()
+    np.testing.assert_array_equal(a, b)
+    assert v1.frame_index_map() is not None
+
+    # fetch=False returns the flat perm-order rows + the index map
+    flat = v1.render(fetch=False)
+    inv = v1.frame_index_map()
+    assert flat.shape == (32 * 32, 4) and inv is not None
+    np.testing.assert_array_equal(
+        np.asarray(flat)[inv].reshape(32, 32, 4), a)
+
+    # rgba8 display path (device-quantized, u32 host gather)
+    np.testing.assert_array_equal(v0.render_rgba8(), v1.render_rgba8())
+
+    # moved frame: device-order rebuild refreshes the host index map
+    for v in (v0, v1):
+        v.camera.center = np.array([-1.2, 0.3, 1.5], np.float32)
+    np.testing.assert_array_equal(v0.render(), v1.render())
+
+    # screenshot round-trips the remapped pixels
+    with tempfile.TemporaryDirectory() as d:
+        p0, p1 = os.path.join(d, "a.png"), os.path.join(d, "b.png")
+        assert v0.screenshot(p0) and v1.screenshot(p1)
+        np.testing.assert_array_equal(read_png(p0), read_png(p1))

@@ -247,3 +247,23 @@ def test_unknown_event_type(server):
     _, base = server
     status, res = _post(base + "/event", {"t": "teleport"})
     assert status == 500 and "teleport" in res["error"]
+
+
+def test_sorted_delivery_through_server(server):
+    """Flipping host_unpermute over the event API keeps served frames
+    identical: the render thread delivers sorted device frames and
+    applies the index map host-side (the web server IS the
+    sorted-tiles + index-map display consumer)."""
+    wv, base = server
+    gen0 = _state(base)["gen"]
+    _, _, ref = _get(base + f"/frame?after={gen0 - 1}")
+    _post(base + "/event", {"t": "viewer", "host_unpermute": True})
+    assert _state(base)["viewer"]["host_unpermute"] is True
+    # force two frames: the first after the flip may fall back to the
+    # pixel-order hint path; the second runs segmented + sorted
+    _post(base + "/event", {"t": "render"})
+    status, hdrs, png = _get(
+        base + f"/frame?after={_state(base)['gen'] - 1}")
+    assert status == 200
+    np.testing.assert_array_equal(decode_png(png), decode_png(ref))
+    _post(base + "/event", {"t": "viewer", "host_unpermute": False})
