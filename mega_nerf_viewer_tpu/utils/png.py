@@ -115,13 +115,14 @@ class ApngEncoder:
 
     def add(self, frame: np.ndarray) -> None:
         frame = np.asarray(frame)
-        if self._shape is None:
-            self._shape = frame.shape
-        elif frame.shape != self._shape:
+        if self._shape is not None and frame.shape != self._shape:
             raise ValueError("all frames must be uint8 [H, W, C] of "
                              "one shape")
-        self._streams.append(_filter_compress(frame,
-                                               self.compress_level))
+        stream = _filter_compress(frame, self.compress_level)
+        # record the shape only once a frame is ACCEPTED — a rejected
+        # first frame must not poison the shape check
+        self._shape = frame.shape
+        self._streams.append(stream)
 
     def tobytes(self) -> bytes:
         if not self._streams:

@@ -184,11 +184,12 @@ class Viewer:
         # compositing in sorted space changes nothing); only WHERE the
         # remap runs changes — off the device critical path, onto host
         # time that overlaps the next frame's compute.  Covers the
-        # segmented fast path without votes; every other path keeps
-        # returning pixel order.  Each ray-order refresh fetches the
-        # [R] i32 inverse map to the host once (~1 ms production link;
-        # ~0.25 s through the axon dev tunnel — don't enable for
-        # motion benchmarks THROUGH the tunnel).
+        # segmented fast path without votes on PARKED frames (moving
+        # frames keep the device unpermute: their per-frame order
+        # rebuild would force a blocking [R] i32 map fetch — the very
+        # motion-path host traffic the device-order design removes);
+        # every other path keeps returning pixel order.  The map is
+        # fetched once per parked episode.
         self.host_unpermute = False
         self._inv_host = None    # host copy of inv for the current order
         self._inv_src = None     # strong ref to the inv it was read from
@@ -553,10 +554,17 @@ class Viewer:
         if order is not None:
             segments = getattr(self, "_segments", None) \
                 or list(accel.DEFAULT_SEGMENTS)
-            use_sorted = self.host_unpermute and not need_votes
+            # Sorted delivery only on PARKED frames: under motion the
+            # device-order rebuild makes a fresh inv every frame, and
+            # fetching it host-side would block the frame on an [R] i32
+            # readback — exactly the motion-path host traffic the
+            # device-order design eliminates (CLAUDE.md invariant).  A
+            # parked camera reuses one order, so the map is fetched
+            # once per episode and every subsequent steady frame skips
+            # the device unpermute for free.
+            use_sorted = (self.host_unpermute and not need_votes
+                          and not frame_moved)
             if use_sorted and self._inv_src is not order[1]:
-                # one host fetch of the [R] i32 index map per ray-order
-                # lifetime; the strong ref keys identity safely
                 self._inv_host = np.asarray(order[1])
                 self._inv_src = order[1]
 

@@ -148,6 +148,14 @@ def test_apng_rejects_bad_input():
                      np.zeros((4, 5, 4), np.uint8)])
     with pytest.raises(ValueError):
         encode_apng([np.zeros((4, 4, 4), np.float32)])
+    # a REJECTED first frame must not poison the shape check: the
+    # encoder stays usable and takes any valid shape afterwards
+    from mega_nerf_viewer_tpu.utils.png import ApngEncoder
+    enc = ApngEncoder()
+    with pytest.raises(ValueError):
+        enc.add(np.zeros((4, 4, 4), np.float32))
+    enc.add(np.zeros((8, 8, 4), np.uint8))
+    assert enc.tobytes().startswith(b"\x89PNG")
 
 
 def test_cli_orbit_apng(tmp_path):

@@ -796,10 +796,16 @@ def test_host_unpermute_sorted_delivery():
     # rgba8 display path (device-quantized, u32 host gather)
     np.testing.assert_array_equal(v0.render_rgba8(), v1.render_rgba8())
 
-    # moved frame: device-order rebuild refreshes the host index map
+    # moved frame: sorted delivery DISENGAGES (the per-frame device
+    # order rebuild would otherwise force a blocking index-map fetch —
+    # the motion-path host traffic the device-order design removes)
     for v in (v0, v1):
         v.camera.center = np.array([-1.2, 0.3, 1.5], np.float32)
     np.testing.assert_array_equal(v0.render(), v1.render())
+    assert v1.frame_index_map() is None
+    # parked again: sorted delivery re-engages on the settled order
+    np.testing.assert_array_equal(v0.render(), v1.render())
+    assert v1.frame_index_map() is not None
 
     # screenshot round-trips the remapped pixels
     with tempfile.TemporaryDirectory() as d:

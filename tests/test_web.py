@@ -255,8 +255,10 @@ def test_sorted_delivery_through_server(server):
     applies the index map host-side (the web server IS the
     sorted-tiles + index-map display consumer)."""
     wv, base = server
-    gen0 = _state(base)["gen"]
-    _, _, ref = _get(base + f"/frame?after={gen0 - 1}")
+    # wait for the first published frame (the module fixture starts
+    # with no state; reading gen before a frame exists would KeyError
+    # when this test runs in isolation)
+    _, _, ref = _get(base + "/frame?after=-1")
     _post(base + "/event", {"t": "viewer", "host_unpermute": True})
     assert _state(base)["viewer"]["host_unpermute"] is True
     # force two frames: the first after the flip may fall back to the
