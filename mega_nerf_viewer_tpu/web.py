@@ -32,12 +32,19 @@ and a render pass is ~tens of ms so the poll overhead is noise.
 
 Endpoints
 ---------
-``GET  /``                the embedded single-file frontend
-``GET  /state``           camera + options + tree/model info (JSON)
-``GET  /frame?after=N``   latest frame PNG (long-poll; 204 on timeout)
-``GET  /screenshot.png``  current frame as an attachment (the ImGui
-                          save-screenshot dialog, ``main.cpp:106-125``)
-``POST /event``           one event or a list (JSON; see _apply_event)
+``GET  /``                  the embedded single-file frontend
+``GET  /state``             camera + options + tree/model info (JSON)
+``GET  /frame.bin?after=N`` latest frame as raw rgba8 bytes (long-poll;
+                            204 on timeout; X-Gen/X-Width/X-Height
+                            headers) — what the embedded frontend
+                            draws (canvas putImageData), skipping the
+                            per-frame PNG encode entirely
+``GET  /frame?after=N``     latest frame PNG (long-poll; 204 on
+                            timeout) — for PNG-consuming clients;
+                            encoded lazily per generation
+``GET  /screenshot.png``    current frame as an attachment (the ImGui
+                            save-screenshot dialog, ``main.cpp:106-125``)
+``POST /event``             one event or a list (JSON; see _apply_event)
 
 The server binds 127.0.0.1 by default and is meant for a trusted
 operator (SSH port-forward to the TPU host): ``open``/``screenshot``
@@ -104,8 +111,15 @@ class WebViewer:
         self._applied_seq = 0              # published through this seq
         self._cv = threading.Condition()   # guards the three above +
         #                                    frame/state publication
-        self._frame_png: bytes = b""
+        self._frame_rgba = None            # latest frame, [H, W, 4] u8
         self._frame_gen = 0
+        # PNG encodes LAZILY on first request per generation: the
+        # embedded frontend consumes the raw-rgba endpoint, so the
+        # ~tens-of-ms zlib pass at 1080p runs only for /frame (PNG
+        # long-poll clients) and /screenshot.png — never on the render
+        # thread's critical path
+        self._frame_png: bytes = b""
+        self._png_gen = -1
         self._state: dict = {}
         self._error: str = ""
         self._stop = threading.Event()
@@ -175,20 +189,47 @@ class WebViewer:
             return {"applied": True, "gen": self._frame_gen,
                     "error": self._error}
 
-    def wait_frame(self, after: int, timeout: float = 30.0):
-        """Return (gen, png_bytes) once gen > after, else (after, None).
-
-        Generation 0 means "no frame rendered yet", so ``after=-1``
-        still waits for the first real frame."""
+    def _wait_gen(self, after: int, timeout: float) -> bool:
+        """Block until a frame newer than ``after`` exists (True) or
+        timeout/stop (False).  Caller does NOT hold the lock."""
         after = max(after, 0)
         with self._cv:
             deadline = time.monotonic() + timeout
             while self._frame_gen <= after and not self._stop.is_set():
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
-                    return after, None
+                    return False
                 self._cv.wait(remaining)
-            return self._frame_gen, self._frame_png
+            return self._frame_gen > after
+
+    def wait_frame(self, after: int, timeout: float = 30.0):
+        """Return (gen, png_bytes) once gen > after, else (after, None).
+
+        Generation 0 means "no frame rendered yet", so ``after=-1``
+        still waits for the first real frame."""
+        if not self._wait_gen(after, timeout):
+            return max(after, 0), None
+        # lazy PNG: encode outside the lock from a snapshot, cache per
+        # generation (concurrent encoders of one gen are idempotent)
+        with self._cv:
+            gen, rgba = self._frame_gen, self._frame_rgba
+            if gen == self._png_gen:
+                return gen, self._frame_png
+        png = encode_png(rgba)
+        with self._cv:
+            if gen > self._png_gen:
+                self._png_gen, self._frame_png = gen, png
+        return gen, png
+
+    def wait_frame_raw(self, after: int, timeout: float = 30.0):
+        """Return (gen, rgba8 [H, W, 4]) once gen > after, else
+        (after, None) — the raw-frame long poll the embedded frontend
+        uses (no PNG encode; the array is replaced, never mutated, by
+        the render thread, so sharing the reference is safe)."""
+        if not self._wait_gen(after, timeout):
+            return max(after, 0), None
+        with self._cv:
+            return self._frame_gen, self._frame_rgba
 
     def get_state(self) -> dict:
         with self._cv:
@@ -239,9 +280,8 @@ class WebViewer:
         # tiles + an index map" the device-side unpermute floor calls
         # for (PERFORMANCE.md roadmap #2)
         rgba8 = v.render_rgba8()
-        png = encode_png(rgba8)
         with self._cv:
-            self._frame_png = png
+            self._frame_rgba = rgba8
             self._frame_gen += 1
         self._publish_state()
 
@@ -437,6 +477,20 @@ class _RequestHandler(BaseHTTPRequestHandler):
                 self._send(204, b"", "image/png", {"X-Gen": str(gen)})
             else:
                 self._send(200, png, "image/png", {"X-Gen": str(gen)})
+        elif url.path == "/frame.bin":
+            q = parse_qs(url.query)
+            after = int(q.get("after", ["-1"])[0])
+            timeout = min(120.0, float(q.get("timeout", ["30"])[0]))
+            gen, rgba = web.wait_frame_raw(after, timeout)
+            if rgba is None:
+                self._send(204, b"", "application/octet-stream",
+                           {"X-Gen": str(gen)})
+            else:
+                self._send(200, rgba.tobytes(),
+                           "application/octet-stream",
+                           {"X-Gen": str(gen),
+                            "X-Width": str(rgba.shape[1]),
+                            "X-Height": str(rgba.shape[0])})
         elif url.path == "/screenshot.png":
             gen, png = web.wait_frame(-1, 30.0)
             self._send(200, png or b"", "image/png",
@@ -496,7 +550,7 @@ _PAGE = ("""<!doctype html>
  #err{color:#f56565;white-space:pre-wrap;font-size:11px}
  .chk{display:inline-flex;margin-right:10px}
 </style></head><body>
-<div id="view"><img id="frame" draggable="false" alt="frame"></div>
+<div id="view"><canvas id="frame" width="0" height="0"></canvas></div>
 <div id="panel">
  <div id="hdr">mega-nerf-viewer-tpu</div>
  <div id="stats"></div>
@@ -596,6 +650,7 @@ _PAGE = ("""<!doctype html>
 <script>
 "use strict";
 const img = document.getElementById('frame');
+const ctx = img.getContext('2d');
 let gen = -1, state = null, inflight = false, queue = [];
 
 async function post(ev){
@@ -621,17 +676,19 @@ function openTree(){
   if (p) post({t:'open', path:p});
 }
 
-// ---- frame long-poll loop ----
+// ---- frame long-poll loop (raw rgba8: no server-side PNG encode) ----
 async function frameLoop(){
   for(;;){
     try {
-      const r = await fetch('/frame?after=' + gen + '&timeout=30');
+      const r = await fetch('/frame.bin?after=' + gen + '&timeout=30');
       if (r.status === 200){
         gen = parseInt(r.headers.get('X-Gen'));
-        const blob = await r.blob();
-        const url = URL.createObjectURL(blob);
-        img.onload = () => URL.revokeObjectURL(url);
-        img.src = url;
+        const w = parseInt(r.headers.get('X-Width'));
+        const h = parseInt(r.headers.get('X-Height'));
+        const buf = new Uint8ClampedArray(await r.arrayBuffer());
+        if (img.width !== w) img.width = w;
+        if (img.height !== h) img.height = h;
+        ctx.putImageData(new ImageData(buf, w, h), 0, 0);
         refreshState();
       }
     } catch(e){ await new Promise(res => setTimeout(res, 1000)); }
@@ -720,8 +777,8 @@ document.getElementById('panel').addEventListener('change', e => {
 let dragging = false;
 function evxy(e){
   const r = img.getBoundingClientRect();
-  const sx = (state ? state.camera.width : img.naturalWidth) / r.width;
-  const sy = (state ? state.camera.height : img.naturalHeight) / r.height;
+  const sx = (state ? state.camera.width : img.width) / r.width;
+  const sy = (state ? state.camera.height : img.height) / r.height;
   return {x: (e.clientX - r.left) * sx, y: (e.clientY - r.top) * sy};
 }
 img.addEventListener('contextmenu', e => e.preventDefault());

@@ -73,6 +73,26 @@ def test_first_frame_long_poll(server):
     assert img[..., 3].max() > 128          # sphere visible
 
 
+def test_raw_frame_endpoint_matches_png(server):
+    """/frame.bin serves the same pixels as /frame, as raw rgba8 with
+    geometry headers (the embedded frontend's canvas path — no PNG)."""
+    _, base = server
+    status, hdrs, png = _get(base + "/frame?after=-1")
+    assert status == 200
+    gen = int(hdrs["X-Gen"])
+    status, hdrs, raw = _get(base + f"/frame.bin?after={gen - 1}")
+    assert status == 200
+    w, h = int(hdrs["X-Width"]), int(hdrs["X-Height"])
+    assert int(hdrs["X-Gen"]) >= gen
+    img = np.frombuffer(raw, np.uint8).reshape(h, w, 4)
+    if int(hdrs["X-Gen"]) == gen:       # no interleaved render: exact
+        np.testing.assert_array_equal(img, decode_png(png))
+    # 204 on timeout, like /frame
+    g = _state(base)["gen"]
+    status, hdrs, body = _get(f"{base}/frame.bin?after={g}&timeout=0.2")
+    assert status == 204 and body == b""
+
+
 def test_frame_poll_times_out_when_static(server):
     _, base = server
     # no pending events: a tiny-timeout poll for a future gen -> 204
