@@ -27,6 +27,57 @@ def test_png_rejects_bad_input(tmp_path):
         write_png(str(tmp_path / "bad.png"), np.zeros((4, 4), np.uint8))
 
 
+def test_png_spec_conformance_independent_decoder(rng):
+    """The Up-filtered Huffman-only stream must decode in ANY PNG
+    reader, not just our own (pins spec conformance of the fast path
+    the reference picks too, ``imwrite.cpp:36-38``)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+    from mega_nerf_viewer_tpu.utils.png import encode_png, encode_apng
+
+    grad = np.linspace(0, 255, 40 * 30 * 4).reshape(40, 30, 4)
+    img = (grad + rng.randint(0, 8, (40, 30, 4))).astype(np.uint8)
+    for lvl in (0, 1):
+        blob = encode_png(img, lvl)
+        got = np.asarray(Image.open(io.BytesIO(blob)))
+        np.testing.assert_array_equal(got, img)
+    # the filtered stream beats the stored one on smooth content
+    assert len(encode_png(img, 1)) < len(encode_png(img, 0))
+
+    frames = [img, np.roll(img, 5, axis=0), np.roll(img, 9, axis=1)]
+    anim = Image.open(io.BytesIO(encode_apng(frames, fps=12)))
+    assert anim.n_frames == 3
+    for i, f in enumerate(frames):
+        anim.seek(i)
+        np.testing.assert_array_equal(np.asarray(anim.convert("RGBA")), f)
+
+
+def test_png_noncontiguous_and_up_run_decode(rng):
+    """Encode from a flipped view; decode streams mixing filter-0 and
+    filter-2 rows (the run-segmented cumsum unfilter path)."""
+    import struct
+    import zlib
+    from mega_nerf_viewer_tpu.utils.png import (_chunk, _ihdr, decode_png,
+                                                encode_png)
+
+    img = rng.randint(0, 256, (20, 30, 4)).astype(np.uint8)[::-1]
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    # hand-build a stream alternating None/Up rows
+    h, w, c = 6, 4, 3
+    ref = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    lines = []
+    for r in range(h):
+        if r % 3 == 0:
+            lines.append(b"\x00" + ref[r].tobytes())
+        else:
+            lines.append(b"\x02" + (ref[r] - ref[r - 1]).tobytes())
+    blob = b"".join([b"\x89PNG\r\n\x1a\n", _ihdr(w, h, c),
+                     _chunk(b"IDAT", zlib.compress(b"".join(lines))),
+                     _chunk(b"IEND", b"")])
+    np.testing.assert_array_equal(decode_png(blob), ref)
+
+
 def test_psnr():
     a = np.zeros((8, 8))
     assert psnr(a, a) == float("inf")
