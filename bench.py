@@ -35,9 +35,12 @@ def _probe_backend(timeout_s: float = 240.0):
     Returns None when healthy, else a one-line diagnosis.
     """
     import subprocess
+    force_cpu = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+                 if os.environ.get("BENCH_FORCE_CPU") else "")
     try:
         r = subprocess.run(
             [sys.executable, "-c",
+             force_cpu +
              "import mega_nerf_viewer_tpu;"
              "import jax, jax.numpy as jnp;"
              "print(float(jnp.arange(8).sum()))"],
@@ -67,6 +70,11 @@ def main():
               file=sys.stderr)
         return 3
     import jax
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # dev smoke only (pair with BENCH_WH): exercises the full bench
+        # flow on CPU — numbers are NOT reportable.  The env var route
+        # is needed because the axon TPU plugin ignores JAX_PLATFORMS.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from mega_nerf_viewer_tpu.camera import Camera
     from mega_nerf_viewer_tpu.options import RenderOptions
@@ -240,7 +248,7 @@ def main():
         # the projection): the frame's only bulk collective is the
         # output all-gather of [R/8, 4] f32 rows — each chip moves
         # 7/8 x R/8 x 16 B over ICI.
-        ici_mb = 7.0 / 8.0 * (width * 1080 // 8) * 16 / 1e6
+        ici_mb = 7.0 / 8.0 * (width * height // 8) * 16 / 1e6
         print(f"# modeled ICI residual: ~{ici_mb:.1f} MB/chip output "
               f"all-gather; at >=45 GB/s per v5e ICI link that is "
               f"~{ici_mb / 45e3 * 1e3:.2f} ms (<2% of a shard), so the "
