@@ -1,13 +1,25 @@
 """Persistent TPU perf worker: polls /tmp/perfq/ for numbered .py jobs,
 execs them in-process (shared jit cache), writes .out/.err files.
 
-Run FROM THE REPO ROOT and check `ps` for stale workers first (multiple
-workers race for jobs with different module states); jobs run with
-sys.path[0] = tools/, so insert /root/repo in the setup job."""
+Run FROM THE REPO ROOT; jobs run with sys.path[0] = tools/, so insert
+/root/repo in the setup job.  A pid lockfile refuses to start while
+another worker is alive — two workers racing the queue execute jobs
+against different module states (a round-2 footgun: a zombie worker
+"OK 6.3s"-stamped jobs the live one never saw)."""
 import os, re, sys, time, traceback, io, contextlib
 
 QDIR = "/tmp/perfq"
+LOCK = os.path.join(QDIR, "worker.pid")
 os.makedirs(QDIR, exist_ok=True)
+if os.path.exists(LOCK):
+    pid = int(open(LOCK).read().strip() or 0)
+    try:
+        os.kill(pid, 0)                  # probe only
+        sys.exit(f"worker {pid} already running (kill it BY PID or "
+                 f"remove {LOCK})")
+    except ProcessLookupError:
+        pass                             # stale lock: dead owner
+open(LOCK, "w").write(str(os.getpid()))
 print("worker up", flush=True)
 ns = {}
 
