@@ -93,6 +93,54 @@ def test_raw_frame_endpoint_matches_png(server):
     assert status == 204 and body == b""
 
 
+def test_concurrent_pollers_and_events(server):
+    """4 threads long-polling /frame and /frame.bin while events fire:
+    generations stay monotone per poller, every PNG decodes, raw sizes
+    match their headers, no request errors (exercises the lazy per-
+    generation PNG cache under concurrent encoders)."""
+    import threading
+    _, base = server
+    stop = threading.Event()
+    errors = []
+
+    def poll(path):
+        gen, seen = -1, 0
+        try:
+            while not stop.is_set() and seen < 6:
+                status, hdrs, body = _get(
+                    f"{base}{path}?after={gen}&timeout=2")
+                if status == 204:
+                    continue
+                new_gen = int(hdrs["X-Gen"])
+                assert new_gen > gen, (path, gen, new_gen)
+                gen = new_gen
+                if path == "/frame":
+                    decode_png(body)
+                else:
+                    w, h = int(hdrs["X-Width"]), int(hdrs["X-Height"])
+                    assert len(body) == w * h * 4
+                seen += 1
+        except Exception as e:               # pragma: no cover
+            errors.append((path, repr(e)))
+
+    threads = [threading.Thread(target=poll, args=(p,))
+               for p in ("/frame", "/frame.bin", "/frame", "/frame.bin")]
+    for t in threads:
+        t.start()
+    try:
+        import time
+        for k in "WSWSWSWS":
+            status, res = _post(base + "/event", {"t": "key", "key": k})
+            assert status == 200
+        time.sleep(1.0)          # let pollers drain the last frames
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors
+    assert not any(t.is_alive() for t in threads)
+
+
 def test_frame_poll_times_out_when_static(server):
     _, base = server
     # no pending events: a tiny-timeout poll for a future gen -> 204
