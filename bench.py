@@ -193,13 +193,16 @@ def main():
 
     sorted_fps = time_frames(frame_sorted)
 
-    print(json.dumps({
+    record = {
         "metric": "frames_per_sec_1080p",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
         "sorted_mode_fps": round(sorted_fps, 3),
-    }))
+    }
+    if os.environ.get("BENCH_FORCE_CPU") or wh:
+        record["smoke"] = True      # env-overridden run: NOT reportable
+    print(json.dumps(record))
     print(f"# device={jax.devices()[0].device_kind} "
           f"chunks={int(tree.capacity)} depth={depth} "
           f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "

@@ -38,10 +38,13 @@ def main():
     f = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     deg = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
-    width, height = 1920, 1080
+    import _overrides
+    width, height, depth, smoke = _overrides.apply(1920, 1080, 8)
 
-    tree = shell_tree(depth=8, basis_dim=9, sigma_inside=400.0)
+    tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
     results = {"metric": "foveated_1080p", "f": f}
+    if smoke:
+        results["smoke"] = True     # env-overridden run: NOT reportable
 
     def build(fov):
         cam = Camera(width, height, 1111.0)

@@ -30,7 +30,10 @@ def main():
     from mega_nerf_viewer_tpu.ops import accel, guided
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    tree = shell_tree(depth=8, basis_dim=1, sigma_inside=400.0)
+    import _overrides
+    width, height, depth, smoke = _overrides.apply(1920, 1080, 8)
+    cs = min(1920, width)
+    tree = shell_tree(depth=depth, basis_dim=1, sigma_inside=400.0)
     lm = accel.build_leaf_map(tree)
     from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
     model = MegaNeRFModel.synthetic(
@@ -39,7 +42,7 @@ def main():
         max_position=(1.5, 1.5, 1.5), need_viewdir=True)
     opt = RenderOptions(max_guided_samples=S, need_viewdir=True,
                         use_guided_sampling=True)
-    cam = Camera(1920, 1080, 1111.0)
+    cam = Camera(width, height, 1111.0)
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
@@ -48,7 +51,7 @@ def main():
     # sample counts that cost-sort subsequent collect marches (the
     # Viewer carries this order across camera moves)
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
-                                          chunk_size=1920,
+                                          chunk_size=cs,
                                           skip_table=skip_table)
     float(cache["results_c"].sum())     # force
     ns_h = np.asarray(cache["num_samples"])
@@ -57,7 +60,7 @@ def main():
     order = accel.order_from_hints(np.asarray(cache["collect_steps"]),
                                    ns_h)
     cache = guided.collect_and_query_fast(tree, lm, model, cam, opt,
-                                          chunk_size=1920,
+                                          chunk_size=cs,
                                           skip_table=skip_table,
                                           order=order)
     float(cache["results_c"].sum())     # warm the ordered program
@@ -70,7 +73,7 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             c = guided.collect_and_query_fast(
-                tree, lm, model, cam, opt, chunk_size=1920,
+                tree, lm, model, cam, opt, chunk_size=cs,
                 skip_table=skip_table, order=order, **kw)
             float(c["results_c"].sum())   # force device completion
             ts.append((time.perf_counter() - t0) * 1000.0)
@@ -84,7 +87,7 @@ def main():
     # stale-hint flags ride the total-count fetch (no extra sync)
     segs = guided.segments_from_ns_hints(ns_h, S)
     cache_s = guided.collect_and_query_fast(
-        tree, lm, model, cam, opt, chunk_size=1920,
+        tree, lm, model, cam, opt, chunk_size=cs,
         skip_table=skip_table, order=order, segments=segs)
     float(cache_s["results_c"].sum())   # warm (escalation settles here)
     cache_s, invalidation_seg_ms = time_invalidation(segments=segs)
@@ -127,14 +130,17 @@ def main():
     except Exception as e:
         results["composite_pallas_ms"] = f"unavailable: {e!r}"
 
-    print(json.dumps({
+    record = {
         "metric": "guided_sampling_1080p",
         "invalidation_ms": round(invalidation_ms, 1),
         "invalidation_segmented_ms": round(invalidation_seg_ms, 1),
         "mlp_samples": n_samples,
         **results,
         "max_guided_samples": S,
-    }))
+    }
+    if smoke:
+        record["smoke"] = True      # env-overridden run: NOT reportable
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

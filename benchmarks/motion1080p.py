@@ -45,7 +45,8 @@ def main():
     n_poses = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     deg = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    width, height = 1920, 1080
+    import _overrides
+    width, height, depth, smoke = _overrides.apply(1920, 1080, depth)
 
     policy = sys.argv[4] if len(sys.argv) > 4 else "async"
     tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
@@ -114,7 +115,7 @@ def main():
         accel.order_from_hints_device = orig_dev
 
     fps = n_poses / dt
-    print(json.dumps({
+    record = {
         "metric": "motion_1080p_fps",
         "value": round(fps, 3),
         "unit": "fps",
@@ -123,7 +124,10 @@ def main():
         "policy": policy,
         "hint_rebuilds": rebuilds[0],
         "rays_per_sec": round(fps * width * height, 0),
-    }))
+    }
+    if smoke:
+        record["smoke"] = True      # env-overridden run: NOT reportable
+    print(json.dumps(record))
     print(f"# motion loop through the Viewer: stale-order marches + "
           f"device-side escalation + async flag checks + "
           f"{rebuilds[0]} hint rebuild(s) inside the timed run; "

@@ -45,9 +45,10 @@ def main():
     deg = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
     S = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     foveation = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    width, height = 1920, 1080
+    import _overrides
+    width, height, depth, smoke = _overrides.apply(1920, 1080, 8)
 
-    tree = shell_tree(depth=8, basis_dim=1, sigma_inside=400.0)
+    tree = shell_tree(depth=depth, basis_dim=1, sigma_inside=400.0)
     model = MegaNeRFModel.synthetic(
         data_dim=4, n_clusters=8, hidden=256, n_layers=8,
         grid_dim=(2, 4), min_position=(-1.5, -1.5, -1.5),
@@ -64,7 +65,7 @@ def main():
                                      need_viewdir=True,
                                      max_guided_samples=S))
     v.model = model
-    v.fast_chunk_size = 1920
+    v.fast_chunk_size = min(1920, width)
     v.foveation = foveation
 
     def orbit_step():
@@ -89,7 +90,7 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = n_poses / dt
-    print(json.dumps({
+    record = {
         "metric": "motion_guided_1080p_fps",
         "value": round(fps, 3),
         "unit": "fps",
@@ -98,7 +99,10 @@ def main():
         "deg_per_pose": deg,
         "max_guided_samples": S,
         "foveation": foveation,
-    }))
+    }
+    if smoke:
+        record["smoke"] = True      # env-overridden run: NOT reportable
+    print(json.dumps(record))
     print("# full guided invalidation per pose: collect march + "
           "compact reconstruct + grouped MLP + device order rebuild + "
           "compact composite; tunnel-priced host syncs included",

@@ -30,7 +30,9 @@ def main():
     from mega_nerf_viewer_tpu.ops.rays import screen2worlddir, rodrigues
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    tree = shell_tree(depth=7, basis_dim=1, sigma_inside=400.0,
+    import _overrides
+    width, height, depth, smoke = _overrides.apply(512, 512, 7)
+    tree = shell_tree(depth=depth, basis_dim=1, sigma_inside=400.0,
                       max_capacity=400000)
     model = MegaNeRFModel.synthetic(
         data_dim=4, n_clusters=8, hidden=256, n_layers=8,
@@ -38,7 +40,7 @@ def main():
         max_position=(1.5, 1.5, 1.5))
     opt = RenderOptions(use_splitting=True, split_batch_size=4096,
                         max_depth=16)
-    cam = Camera(512, 512, 600.0)
+    cam = Camera(width, height, 600.0)
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
 
@@ -98,7 +100,7 @@ def main():
               f"splits_per_sec includes a cold compile",
               file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "refine_throughput",
         "leafmap_shape_stable": shape_stable,
         "splits_per_sec": round(total_added / dt, 1),
@@ -108,7 +110,10 @@ def main():
         "iterations": iters,
         "total_added": total_added,
         "final_capacity": int(cur.capacity),
-    }))
+    }
+    if smoke:
+        record["smoke"] = True      # env-overridden run: NOT reportable
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

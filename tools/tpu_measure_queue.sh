@@ -19,6 +19,9 @@
 #     parity — regression sweep
 set -u
 cd "$(dirname "$0")/.." || exit 1
+# After code changes, run tools/smoke_benchmarks.sh FIRST (CPU, tiny
+# sizes): it exercises every script below end-to-end so a latent crash
+# can't burn a real measurement slot.
 # mandatory tunnel probe: a dead tunnel would otherwise burn ~7.5 h of
 # per-benchmark timeouts producing nothing
 if ! timeout 45 python -c \
