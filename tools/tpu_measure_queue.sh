@@ -24,7 +24,11 @@ cd "$(dirname "$0")/.." || exit 1
 # can't burn a real measurement slot.
 # mandatory tunnel probe: a dead tunnel would otherwise burn ~7.5 h of
 # per-benchmark timeouts producing nothing
-if ! timeout 45 python -c \
+# 45 s was too tight when the remote compile service queues (measured
+# 78 s for this one-op program in a fresh process on 2026-08-18 with
+# the tunnel otherwise healthy); a dead tunnel still fails fast at the
+# cap.
+if ! timeout 300 python -c \
     "import jax, jax.numpy as jnp; print(float(jnp.arange(8).sum()))"; then
   echo "TPU tunnel is DEAD (probe hung/failed) — aborting queue" >&2
   exit 2
