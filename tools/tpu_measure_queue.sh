@@ -6,17 +6,18 @@
 # (concurrent TPU processes can wedge the backend) from the repo root,
 # with generous timeouts for the remote compile service.
 #
-# Measurement priorities (PERFORMANCE.md caveat + round-3 leftovers):
-#  1. bench.py          — headline regression check after the segment
-#                         floor-quantization + leaf_lookup refactors
-#                         (layouts shifted <= 1 chunk/class; expect
-#                         ~16.6 fps unchanged)
-#  2. motion1080p       — re-measure with the FIXED dilation estimator
-#                         (was stuck at window 16; expect >= 2.40 fps)
-#  3. motion_guided1080p — same, guided (expect >= 2.98 fps); also the
-#                         never-timed guided-foveated config
+# Measurement status (2026-08-19, tunnel returned; PERFORMANCE.md has
+# the full numbers):
+#  1. bench.py          — DONE: 16.43 fps headline (no regression),
+#                         sorted_mode 19.43, v5e-8 projection 62.0/86.2
+#  2. motion1080p       — DONE: 2.351 fps (statistically unchanged by
+#                         the dilation fix)
+#  3. motion_guided1080p — DONE: 2.35-2.63 fps over two solo runs
+#                         (pre-fix 2.98 — the speed-matched window
+#                         collects real silhouette samples; ±10% run
+#                         variance).  Guided-foveated config queued.
 #  4. guided1080p / foveated1080p / orbit4k / refine_throughput /
-#     parity — regression sweep
+#     parity — regression sweep (results land in /tmp/tpu_results_r3)
 set -u
 cd "$(dirname "$0")/.." || exit 1
 # After code changes, run tools/smoke_benchmarks.sh FIRST (CPU, tiny
