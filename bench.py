@@ -4,8 +4,13 @@ Renders a Mill-19-style synthetic shell octree (dense SH surface in an
 empty volume) at 1920x1080 with full octree traversal + SH9 evaluation,
 mirroring BASELINE config 2.  Prints ONE JSON line:
   {"metric": "frames_per_sec_1080p", "value": N, "unit": "fps",
-   "vs_baseline": N/30, "sorted_mode_fps": N}
-(vs_baseline: BASELINE.md target is >= 30 fps at 1080p.)
+   "vs_baseline": N/30, "sorted_mode_fps": N,
+   "projected_v5e8_fps": N, "projected_v5e8_sorted_fps": N,
+   "projection_method": "per-shard-timed"}
+(vs_baseline: BASELINE.md target is >= 30 fps at 1080p — defined on a
+v5e-8 slice; `value` is the single-chip figure, the projected_* keys
+carry the slice projection measured by timing each of the sharded
+program's 8 per-shard bodies on this one chip.)
 
 When the accelerator backend is unresponsive the line carries value
 0.0 and an "error" key with the diagnosis (exit code 3): consumers of
@@ -21,7 +26,7 @@ import time
 import numpy as np
 
 
-def _probe_backend(timeout_s: float = 240.0):
+def _probe_backend_once(timeout_s: float = 240.0):
     """Run a trivial jax op in a subprocess with a hard timeout.
 
     The axon dev tunnel can die in a way that makes ANY jax call hang
@@ -54,6 +59,36 @@ def _probe_backend(timeout_s: float = 240.0):
         return ("backend probe subprocess failed: "
                 + ("; ".join(tail[-3:]) if tail else f"rc={r.returncode}"))
     return None
+
+
+def _probe_backend():
+    """Probe the backend with retry/backoff before giving up.
+
+    Round 3 lost its entire driver-captured perf record to ONE transient
+    tunnel outage: the probe tried once, emitted the error record, and
+    the round scored 0.0 even though the same chip had answered hours
+    earlier.  Transient tunnel death is the COMMON failure mode here, so
+    the probe now makes 3 attempts with backoff (~12 min worst case)
+    and only then emits the structured error.  Each attempt's outcome is
+    logged to stderr so queue logs carry probe health.
+    """
+    backoffs = (60.0, 180.0)       # sleeps between the 3 attempts
+    err = None
+    for attempt in range(len(backoffs) + 1):
+        t0 = time.time()
+        err = _probe_backend_once()
+        dt = time.time() - t0
+        if err is None:
+            print(f"# probe-health: attempt {attempt + 1} ok "
+                  f"({dt:.1f}s)", file=sys.stderr)
+            return None
+        print(f"# probe-health: attempt {attempt + 1} FAILED "
+              f"({dt:.1f}s): {err}", file=sys.stderr)
+        if attempt < len(backoffs):
+            print(f"# probe-health: backing off {backoffs[attempt]:.0f}s "
+                  "before retry", file=sys.stderr)
+            time.sleep(backoffs[attempt])
+    return err
 
 
 def main():
@@ -202,7 +237,6 @@ def main():
     }
     if os.environ.get("BENCH_FORCE_CPU") or wh:
         record["smoke"] = True      # env-overridden run: NOT reportable
-    print(json.dumps(record))
     print(f"# device={jax.devices()[0].device_kind} "
           f"chunks={int(tree.capacity)} depth={depth} "
           f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "
@@ -233,6 +267,12 @@ def main():
         worst = max(shard_ms)
         med = sorted(shard_ms)[len(shard_ms) // 2]
         proj = 1000.0 / (worst + unperm_ms)
+        # the BASELINE >= 30 fps target is defined on a v5e-8 slice;
+        # carry the slice projection (and its method tag) in the one
+        # driver-recorded line, not only on stderr
+        record["projected_v5e8_fps"] = round(proj, 1)
+        record["projected_v5e8_sorted_fps"] = round(1000.0 / worst, 1)
+        record["projection_method"] = "per-shard-timed"
         print(f"# v5e-8 projected: {proj:.1f} fps 1080p "
               f"(8 shard timings ms: "
               f"{', '.join(f'{m:.2f}' for m in shard_ms)}; "
@@ -259,6 +299,10 @@ def main():
               f"measured", file=sys.stderr)
     except Exception as e:  # projection is best-effort reporting
         print(f"# v5e-8 projection unavailable: {e!r}", file=sys.stderr)
+
+    # the ONE driver-contract JSON line, printed last so the slice
+    # projection keys (when available) ride in the recorded line
+    print(json.dumps(record))
 
 
 def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
