@@ -1085,9 +1085,10 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
 
     ``use_pallas``: None (default) auto-routes — compact SH caches
     with per-sample viewdirs take the single-pass Pallas
-    segmented-scan kernel, everything else the XLA path; True forces
-    Pallas where available (including the padded-layout kernel, which
-    measured SLOWER than XLA at frame scale); False forces XLA."""
+    segmented-scan kernel, everything else the XLA path; False forces
+    XLA.  (The padded-layout [R, S] Pallas kernel measured SLOWER than
+    XLA at frame scale and is no longer routed — it remains in
+    pallas_composite.py as a validated reference kernel only.)"""
     fmt_sh = tree.data_format.format == "SH"
     if "results_c" in cache:
         # compact device-resident cache (collect_and_query_fast).
@@ -1144,17 +1145,6 @@ def composite_frame(tree: N3Tree, camera, opt: RenderOptions, cache,
         camera.width, camera.height, camera.fx, camera.fy,
         camera.cx, camera.cy, jnp.asarray(camera.transform))
     vdirs = rodrigues(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
-    if use_pallas and fmt_sh and tree.data_format.basis_dim >= 1:
-        from .pallas_composite import composite_results_pallas
-        try:
-            out = composite_results_pallas(
-                cache["results"], cache["z_vals"], cache["num_samples"],
-                vdirs, opt, tree.data_format.basis_dim)
-            return out.reshape(camera.height, camera.width, 4)
-        except Exception as e:   # pragma: no cover - backend-dependent
-            import warnings
-            warnings.warn(f"Pallas compositor unavailable ({e!r}); "
-                          "falling back to XLA")
     out = composite_results(
         cache["results"], cache["z_vals"], cache["num_samples"],
         vdirs, opt, tree.data_format.basis_dim, fmt_sh)

@@ -30,9 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..options import RenderOptions
 from .sh import masked_sh_basis
 
-# Rows of rays per kernel instance (register sublane count).  At frame
-# scale the XLA compositor outperforms this kernel either way (see
-# PERFORMANCE.md) — it stays opt-in via Viewer.use_pallas_composite.
+# Rows of rays per kernel instance (register sublane count) of the
+# padded-layout kernel below.  REFERENCE/TEACHING ONLY: at frame scale
+# the XLA compositor outperforms the padded kernel (measured, see
+# PERFORMANCE.md), so composite_frame no longer routes to it — the
+# PRODUCTION Pallas path is the compact segmented-scan kernel
+# (composite_results_compact_pallas).  The padded kernel stays here,
+# validated by tests/test_pallas.py, as the readable single-tile
+# statement of the rt_core.cuh:334-416 recursion.
 TILE = 8
 
 
@@ -360,7 +365,9 @@ def composite_results_pallas(results: jax.Array,    # [R, S, out_dim]
                              opt: RenderOptions,
                              basis_dim: int,
                              interpret: Optional[bool] = None) -> jax.Array:
-    """Drop-in for guided.composite_results (SH format), Pallas-fused.
+    """Padded-layout [R, S] Pallas compositor — REFERENCE/TEACHING ONLY
+    (not routed by composite_frame; measured slower than XLA at frame
+    scale).  Drop-in for guided.composite_results (SH format).
     ``interpret=None`` auto-selects interpreter mode on CPU backends."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

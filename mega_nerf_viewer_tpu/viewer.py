@@ -102,7 +102,8 @@ class Viewer:
         # guided compositor routing (guided.composite_frame): None =
         # auto (compact SH caches take the single-pass Pallas
         # segmented-scan kernel; padded/depth/no-viewdir take XLA);
-        # True/False force
+        # False forces XLA everywhere (the padded-layout Pallas kernel
+        # is reference-only and never routed)
         self.use_pallas_composite = None
         # turbo: max-empty-cube leaf map (sub-1e-3 drift; see accel.py)
         self.use_turbo_map = False

@@ -239,10 +239,9 @@ def test_fast_collection_matches_exact():
     img_a = np.asarray(guided.composite_frame(tree, cam, opt, cache_exact))
     img_b = np.asarray(guided.composite_frame(tree, cam, opt, cache_fast))
     np.testing.assert_allclose(img_a, img_b, atol=1e-4)
-    # and the padded cache through the Pallas compositor
-    img_c = np.asarray(guided.composite_frame(tree, cam, opt, cache_exact,
-                                              use_pallas=True))
-    np.testing.assert_allclose(img_c, img_a, atol=1e-4)
+    # (the padded-layout Pallas compositor is reference-only and no
+    # longer routed by composite_frame; it stays validated directly in
+    # tests/test_pallas.py)
 
 
 def test_fast_collection_appearance_embedding():
