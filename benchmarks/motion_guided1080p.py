@@ -73,13 +73,40 @@ def main():
         v.camera.drag_update(-np.deg2rad(deg) * width / 2.0, 0.0)
         v.camera.end_drag()
 
-    # Warmup: first invalidation (unordered), then two moved poses so
-    # the ordered + segmented programs (and any budget escalations)
-    # compile at these shapes before the timed run.
+    # Warmup: first invalidation (unordered), then moved poses until a
+    # pose completes with ZERO fresh XLA compiles (bounded).  A fixed
+    # 2-pose warmup under-warms the foveated mode: each sub-viewer
+    # walks its own budget ladder and novel (segment, budget) tuples
+    # keep arriving through ~pose 6 (measured on v5e: pose 0 = 86 s of
+    # compiles, pose 6 still caught one; steady poses are ~330 ms).
+    # Those compiles are one-time per tuple family — the persistent
+    # jit cache serves them across sessions — so the honest
+    # interactive-rate figure is the post-quiescence one; the record
+    # carries how many adaptation poses it took.
+    import logging
+
+    fresh = [0]
+
+    class _CompileCounter(logging.Handler):
+        def emit(self, r):
+            if r.getMessage().startswith("Finished XLA compilation"):
+                fresh[0] += 1
+
+    import jax
+    jax.config.update("jax_log_compiles", True)
+    h = _CompileCounter()
+    logging.getLogger("jax._src.dispatch").addHandler(h)
     v.render(fetch=False)
-    for _ in range(2):
+    warmup_poses = 0
+    for _ in range(12):
+        fresh[0] = 0
         orbit_step()
         float(v.render(fetch=False).sum())
+        warmup_poses += 1
+        if fresh[0] == 0:
+            break
+    logging.getLogger("jax._src.dispatch").removeHandler(h)
+    jax.config.update("jax_log_compiles", False)
 
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
@@ -99,6 +126,7 @@ def main():
         "deg_per_pose": deg,
         "max_guided_samples": S,
         "foveation": foveation,
+        "warmup_poses": warmup_poses,
     }
     if smoke:
         record["smoke"] = True      # env-overridden run: NOT reportable

@@ -12,13 +12,15 @@
 # one outage can never silently zero a round's evidence again.
 #
 # Measurement status (2026-08-19; PERFORMANCE.md has the full numbers):
-#  1. bench.py           — DONE r3: 16.43 fps headline, sorted 19.43,
-#                          v5e-8 projection 62.0/86.2
+#  1. bench.py           — DONE r4: 16.53 fps headline, sorted 19.57,
+#                          v5e-8 projection 61.7/95.5, rc=0 (r3 was
+#                          16.43/19.43 before the tunnel died)
 #  2. motion1080p        — DONE r3: 2.351 fps
-#  3. motion_guided1080p — DONE r3: 2.35-2.63 fps (two solo runs).
-#                          Guided-FOVEATED config also DONE: 0.174 fps,
-#                          known-bad (per-sub-viewer ladder recompiles;
-#                          round-4 fix target) — see PERFORMANCE.md
+#  3. motion_guided1080p — DONE r4: f=1 2.65 fps, f=4 1.792 fps, both
+#                          with compile-quiescence warmup (the r3
+#                          "0.174 fps known-bad" f=4 figure was the
+#                          compile tail inside the timed region, not
+#                          steady state) — see PERFORMANCE.md
 #                          "Other measured configurations".
 #  4. guided1080p / foveated1080p / orbit4k / refine_throughput /
 #     parity — regression sweep (results land in /tmp/tpu_results)
