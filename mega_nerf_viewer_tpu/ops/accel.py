@@ -691,8 +691,24 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
         pix, width, intr[0], intr[1], intr[2], intr[3], transform)
     vdirs_p = rodrigues(rot_dirs, dirs_p)
 
+    packed = return_hints == "packed"
+
+    def _hints_of(res):
+        # "packed" folds the three [n] hint arrays into ONE i32 per ray
+        # (pack_hints layout) INSIDE the fused frame: the final pixel-
+        # order unpermute then moves one array instead of three — the
+        # [2M]-row gather is a per-row cost (~25 ms each at 1080p
+        # through XLA's gather floor), so this saves two full gathers
+        # per motion frame.  Budget classes only read the nrec field,
+        # which the packing preserves exactly (8-bit cap 255 > the 128
+        # budget ceiling).
+        if packed:
+            return [pack_hints(res.steps, res.nrec, res.skips)]
+        return [res.steps, res.nrec, res.skips]
+
+    n_hints = (1 if packed else 3) if return_hints else 0
     outs, ovs, svs, pvs = [], [], [], []
-    steps_l, nrec_l, skips_l = [], [], []
+    hints_l = [[] for _ in range(n_hints)]
     off = 0
     for c_chunks, md in seg_counts:
         if c_chunks == 0:
@@ -714,17 +730,15 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             svs.append(res.split_vote)
             pvs.append(res.sample_vote)
         if return_hints:
-            steps_l.append(res.steps)
-            nrec_l.append(res.nrec)
-            skips_l.append(res.skips)
+            for lst, h in zip(hints_l, _hints_of(res)):
+                lst.append(h)
         off += n
 
-    def pack(out_cat, sv, pv, st, nr, sk, fb_ov):
+    def pack(out_cat, sv, pv, hints, fb_ov):
         parts = [out_cat]
         if need_votes:
             parts += [sv, pv]
-        if return_hints:
-            parts += [st, nr, sk]
+        parts += hints
         return tuple(parts) + (fb_ov,)
 
     fb_overflow = None
@@ -734,9 +748,7 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
                 jnp.concatenate(outs, 0),
                 jnp.concatenate(svs, 0) if need_votes else None,
                 jnp.concatenate(pvs, 0) if need_votes else None,
-                jnp.concatenate(steps_l, 0) if return_hints else None,
-                jnp.concatenate(nrec_l, 0) if return_hints else None,
-                jnp.concatenate(skips_l, 0) if return_hints else None,
+                [jnp.concatenate(lst, 0) for lst in hints_l],
                 jnp.int32(0))
 
         def _fb(_):
@@ -748,9 +760,7 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
             return pack(res.out,
                         res.split_vote if need_votes else None,
                         res.sample_vote if need_votes else None,
-                        res.steps if return_hints else None,
-                        res.nrec if return_hints else None,
-                        res.skips if return_hints else None,
+                        _hints_of(res) if return_hints else [],
                         res.overflow)
 
         sel = jax.lax.cond(jnp.stack(ovs).sum() > 0, _fb, _seg, None)
@@ -760,9 +770,8 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
         if need_votes:
             svs, pvs = [sel[i]], [sel[i + 1]]
             i += 2
-        if return_hints:
-            steps_l, nrec_l, skips_l = [sel[i]], [sel[i + 1]], [sel[i + 2]]
-            i += 3
+        hints_l = [[sel[i + k]] for k in range(n_hints)]
+        i += n_hints
         fb_overflow = sel[-1]
     else:
         out = jnp.concatenate(outs, 0)[:R]
@@ -795,10 +804,12 @@ def _frame_core(tree: N3Tree, leaf_map: LeafMap,
     if need_votes:
         ret["split_vote"] = unperm(svs)
         ret["sample_vote"] = unperm(pvs)
-    if return_hints:
-        ret["steps"] = unperm(steps_l)
-        ret["nrec"] = unperm(nrec_l)
-        ret["skips"] = unperm(skips_l)
+    if packed:
+        ret["hints_packed"] = unperm(hints_l[0])
+    elif return_hints:
+        ret["steps"] = unperm(hints_l[0])
+        ret["nrec"] = unperm(hints_l[1])
+        ret["skips"] = unperm(hints_l[2])
     return ret
 
 
@@ -852,10 +863,38 @@ def _argsort_small_keys(keys: np.ndarray) -> tuple:
             jnp.asarray(np.argsort(perm_np, kind="stable"), jnp.int32))
 
 
+def _axis_windows(window):
+    """Normalize a dilation window spec to per-axis (wy, wx).
+
+    An int dilates isotropically (legacy spec); a (wy, wx) tuple
+    dilates each image axis by its own window — a yaw orbit sweeps
+    ~58 px horizontally but only ~17 px vertically at 1080p
+    (measured), and the pooled area is what fattens budget classes
+    (motion put 50% of rays in the top record class isotropically),
+    so directional windows cut the over-classing ~4x for the same
+    protection."""
+    if isinstance(window, tuple):
+        return window
+    return (window, window)
+
+
+def _pool2d_max(img, wy: int, wx: int):
+    """Doubling roll-max dilation with per-axis windows; reach per
+    direction is window-1 (k = 1, 2, ... < window summed)."""
+    for axis, w in ((0, wy), (1, wx)):
+        k = 1
+        while k < w:
+            img = jnp.maximum(
+                img, jnp.maximum(jnp.roll(img, k, axis),
+                                 jnp.roll(img, -k, axis)))
+            k *= 2
+    return img
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "window"))
 def dilate_hints(steps, nrec, skips=None, *, width: int, height: int,
-                 window: int):
+                 window):
     """Motion-compensate per-ray hints by a 2-D max dilation.
 
     A camera move of a degrees shifts silhouettes by ~fx*tan(a) pixels
@@ -870,22 +909,77 @@ def dilate_hints(steps, nrec, skips=None, *, width: int, height: int,
     roll-max passes (~log2(window) x 2 axes elementwise sweeps, ~1 ms
     at 1080p); rolls wrap at frame edges, which can only over-budget a
     border row (never truncate).  Pure perf shaping — records/pixels
-    are unaffected by over-classing.
+    are unaffected by over-classing.  ``window``: int or per-axis
+    (wy, wx) — see :func:`_axis_windows`.
     """
+    wy, wx = _axis_windows(window)
+
     def pool(a):
-        img = a.reshape(height, width)
-        for axis in (0, 1):
-            k = 1
-            while k < window:
-                img = jnp.maximum(
-                    img, jnp.maximum(jnp.roll(img, k, axis),
-                                     jnp.roll(img, -k, axis)))
-                k *= 2
-        return img.reshape(-1)
+        return _pool2d_max(a.reshape(height, width), wy, wx).reshape(-1)
     # skips is optional: the guided path dilates only (steps, ns) and
     # shouldn't pay a third full-frame sweep for a discarded output
     return pool(steps), pool(nrec), (None if skips is None
                                      else pool(skips))
+
+
+def pack_hints(steps, nrec, skips):
+    """Fold per-ray (steps, nrec, skips) hints into ONE i32.
+
+    Layout [nrec:8b @18 | steps:9b @9 | skips:9b @0] — the SAME shift
+    layout :func:`order_from_hints_device` sorts by, so the packed
+    value doubles as the order key directly (nrec is primary, steps
+    secondary, skips tertiary; identical class grouping, higher nrec
+    tie-break resolution).  The nrec field cap (255) exceeds the 128
+    budget-escalation ceiling, so budget classes and the CDF trailing
+    max survive packing exactly.  Motivation: the motion path consumes
+    hints every pose, and three separate [2M] pixel-order unpermute
+    gathers cost ~25 ms EACH at 1080p (XLA gathers bill per row) —
+    one packed array cuts that to one gather and one dilation pool.
+    """
+    steps = jnp.minimum(jnp.asarray(steps, jnp.int32), 511)
+    nrec = jnp.minimum(jnp.asarray(nrec, jnp.int32), 255)
+    skips = (jnp.zeros_like(steps) if skips is None
+             else jnp.minimum(jnp.asarray(skips, jnp.int32), 511))
+    return (nrec << 18) | (steps << 9) | skips
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "window"))
+def dilate_packed(ph, *, width: int, height: int, window):
+    """Motion-compensate PACKED hints by one 2-D max dilation.
+
+    Max over packed keys is a lexicographic (nrec, steps, skips) max:
+    the nrec field of the pooled value is EXACTLY the window's nrec
+    max (what budget classing needs); steps/skips come from the
+    window's argmax-nrec ray — an approximation that only perturbs the
+    sort's secondary locality heuristic, never budgets or pixels.
+    One pooled array replaces :func:`dilate_hints`'s three sweeps.
+    ``window``: int or per-axis (wy, wx) — see :func:`_axis_windows`.
+    """
+    wy, wx = _axis_windows(window)
+    img = jnp.asarray(ph, jnp.int32).reshape(height, width)
+    return _pool2d_max(img, wy, wx).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("classes",))
+def hint_class_cdf_packed(ph, classes: tuple = (0, 1, 2, 4, 8)):
+    """:func:`hint_class_cdf` over the nrec field of packed hints."""
+    nrec = jnp.asarray(ph, jnp.int32) >> 18
+    return jnp.stack([jnp.sum((nrec <= c).astype(jnp.int32))
+                      for c in classes] + [jnp.max(nrec)])
+
+
+@jax.jit
+def order_from_packed_device(ph) -> tuple:
+    """Device-resident (perm, inv) from PACKED hints: the packed value
+    IS the sort key (see :func:`pack_hints`), so the motion rebuild
+    skips the key re-packing and two of three hint arrays entirely."""
+    key = jnp.asarray(ph, jnp.int32)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32),
+        unique_indices=True)
+    return perm, inv
 
 
 def class_ladder(top: int) -> tuple:
@@ -1266,7 +1360,12 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     dedicated hint frame.  Note nrec is capped at each ray's segment
     budget (a heavy ray in a small-budget class reports the cap and
     raises that segment's overflow; the next refresh then re-classes
-    it — self-healing with one-frame lag).
+    it — self-healing with one-frame lag).  Pass the string
+    ``"packed"`` to get ONE i32 array in :func:`pack_hints` layout
+    instead of three — the production motion path: one pixel-order
+    unpermute gather instead of three (~25 ms each at 1080p), and the
+    packed value doubles as the rebuild sort key
+    (:func:`order_from_packed_device`).
 
     ``sorted_output`` skips the frame's final on-device unpermute and
     returns the image as FLAT [R, 4] rows in ``perm`` (segment) order —
@@ -1282,8 +1381,9 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     Returns (img [H, W, 4] — or flat [R, 4] perm-order rows when
     ``sorted_output`` — seg_overflow i32 COUNTS [n_segments],
     [split_vote, sample_vote] when need_votes][, fb_overflow when
-    device_fallback][, steps, nrec, skips when return_hints]) — votes
-    and hints in pixel order.
+    device_fallback][, steps, nrec, skips when return_hints — or one
+    packed i32 array when return_hints="packed"]) — votes and hints
+    in pixel order.
     """
     w, h = camera.width, camera.height
     R = w * h
@@ -1301,7 +1401,7 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
             chunk_size=chunk_size, order=order, unroll=unroll,
             need_votes=need_votes, dynamic_knobs=dynamic_knobs,
             skip_table=skip_table,
-            return_nrec=return_hints, return_skips=return_hints)
+            return_nrec=bool(return_hints), return_skips=bool(return_hints))
         img, overflow = res[0], res[1]
         if sorted_output:
             # contract uniformity: rows in perm order, flat [R, 4]
@@ -1311,7 +1411,9 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
         out = ((img, ov) + tuple(res[3:5])) if need_votes else (img, ov)
         if device_fallback:
             out = out + (overflow,)
-        if return_hints:
+        if return_hints == "packed":
+            out = out + (pack_hints(res[2], res[-2], res[-1]),)
+        elif return_hints:
             out = out + (res[2], res[-2], res[-1])
         return out
 
@@ -1331,6 +1433,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
         out = out + (res["split_vote"], res["sample_vote"])
     if device_fallback:
         out = out + (res["fb_overflow"],)
-    if return_hints:
+    if return_hints == "packed":
+        out = out + (res["hints_packed"],)
+    elif return_hints:
         out = out + (res["steps"], res["nrec"], res["skips"])
     return out

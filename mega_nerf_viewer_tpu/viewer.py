@@ -140,7 +140,7 @@ class Viewer:
         # order every moved frame keeps the budget classes valid, so
         # escalation (and its recompiles) stays rare under motion.
         self.use_device_order = True
-        self._last_hints = None
+        self._hints_packed = None
         self._order_stale = False
         self._clean_streak = 0
         # async-policy escalation tolerance: fraction of frame rays
@@ -519,9 +519,9 @@ class Viewer:
         R = self.camera.width * self.camera.height
         if order is not None and order[0].shape[0] != R:
             order = None
-        hints = getattr(self, "_last_hints", None)
-        if hints is not None and hints[0].shape[0] != R:
-            hints = self._last_hints = None
+        hints = getattr(self, "_hints_packed", None)
+        if hints is not None and hints.shape[0] != R:
+            hints = self._hints_packed = None
         if (self.use_device_order and self._order_stale
                 and order is not None and hints is not None):
             # camera moved: rebuild the order from the LAST frame's
@@ -537,21 +537,23 @@ class Viewer:
             h = self.camera.height
             window = self._estimate_dilation()
             if window:
-                dh = accel.dilate_hints(*hints, width=w, height=h,
-                                        window=window)
+                dh = accel.dilate_packed(hints, width=w, height=h,
+                                         window=window)
                 order = self._ray_order = \
-                    accel.order_from_hints_device(*dh)
+                    accel.order_from_packed_device(dh)
                 src = ("dil", window)
                 if getattr(self, "_segments_src", None) != src:
-                    cdf = accel.hint_class_cdf(dh[1])
+                    cdf = accel.hint_class_cdf_packed(dh)
                     self._segments = list(accel.segments_from_hint_cdf(
                         np.asarray(cdf), R, headroom=True))
                     self._segments_src = src
             else:
-                order = self._ray_order = accel.order_from_hints_device(
-                    *hints)
+                order = self._ray_order = accel.order_from_packed_device(
+                    hints)
             self._order_stale = False
-        want_hints = self.use_device_order
+        # "packed" hints: ONE [R] i32 output (and one unpermute gather)
+        # per frame instead of three — see accel.pack_hints
+        want_hints = "packed" if self.use_device_order else False
         if order is not None:
             segments = getattr(self, "_segments", None) \
                 or list(accel.DEFAULT_SEGMENTS)
@@ -596,7 +598,7 @@ class Viewer:
                     fb = out[i]
                     i += 1
                 if want_hints:
-                    self._last_hints = tuple(out[i:i + 3])
+                    self._hints_packed = out[i]
                 return votes, fb
 
             if self.overflow_policy == "device":
@@ -671,9 +673,9 @@ class Viewer:
             else:
                 img, _, steps, nrec, skips = out
             if self.use_device_order:
-                self._ray_order = accel.order_from_hints_device(
-                    steps, nrec, skips)
-                self._last_hints = (steps, nrec, skips)
+                ph = accel.pack_hints(steps, nrec, skips)
+                self._ray_order = accel.order_from_packed_device(ph)
+                self._hints_packed = ph
                 # fresh exact hints: derive CDF-matched budgets for
                 # this scene/pose (floor-quantized; exact keys on a
                 # parked camera make the classes provably sufficient)
@@ -683,7 +685,7 @@ class Viewer:
                     * self.camera.height))
                 self._segments_src = ("steady",)
                 self._order_back = np.asarray(
-                    self.camera.transform, np.float32)[2, :].copy()
+                    self.camera.transform, np.float32)[:3, :].copy()
             else:
                 self._ray_order = accel.order_from_hints(
                     steps, nrec, skips)
@@ -799,13 +801,26 @@ class Viewer:
                             height=H, width=W)
 
     def _estimate_dilation(self, attr: str = "_order_back"):
-        """Quantized hint-dilation window from the camera delta since
-        the hints' pose: pixel sweep ~ fx * tan(view-direction angle).
-        Returns 0 (no dilation) only when no previous pose is known;
-        tiny moves use the cheapest window.  ``attr`` names the
-        last-pose attribute so the fast path and the guided path track
-        their episodes independently (their hints refresh at different
-        times)."""
+        """Quantized PER-AXIS hint-dilation windows (wy, wx) from the
+        camera delta since the hints' pose.  Returns 0 (no dilation)
+        only when no previous pose is known; tiny moves use the
+        cheapest windows.  ``attr`` names the last-pose attribute so
+        the fast path and the guided path track their episodes
+        independently (their hints refresh at different times).
+
+        Directional: the view-direction sweep is decomposed onto the
+        previous pose's right/up axes — a yaw orbit sweeps ~58 px
+        horizontally but only ~17 px vertically at 1080p (measured),
+        and the POOLED AREA is what fattens budget classes (isotropic
+        128 put ~50% of rays in the top record class vs 6% steady,
+        ~4.4x the record-gather rows per motion frame), so per-axis
+        windows buy the same protection at a fraction of the class
+        inflation.  Each axis keeps a 0.3x margin of the other's sweep
+        (perspective spreads a pan perpendicular too — 17/63 px on the
+        measured yaw orbit).  The ladder compares against the pool's
+        TRUE reach (window-1, doubling roll-max), not 0.9*window: the
+        58-px orbit pose previously just missed 64*0.9 and over-dilated
+        at 128."""
         cam = self.camera
         # transform is ROW-stacked [right, up, back, center]
         # (camera.cpp:54-82): the view direction is row 2.  (The
@@ -813,19 +828,37 @@ class Viewer:
         # is INVARIANT under rotation about world-z, the default orbit
         # axis, so the primary interactive motion was never dilated
         # beyond the minimum window.)
-        back = np.asarray(cam.transform, np.float32)[2, :]
+        rot = np.asarray(cam.transform, np.float32)[:3, :]
         prev = getattr(self, attr, None)
-        setattr(self, attr, back.copy())
+        setattr(self, attr, rot.copy())
         if prev is None:
             return 0
-        c = float(np.clip(np.dot(prev, back)
-                          / (np.linalg.norm(prev) * np.linalg.norm(back)
-                             + 1e-12), -1.0, 1.0))
-        shift = cam.fx * np.tan(np.arccos(c))
-        for wdw in (16, 64, 128):
-            if shift <= wdw * 0.9:
-                return wdw
-        return 128
+        prev = np.asarray(prev, np.float32)
+        if prev.ndim == 1:                 # legacy back-row anchor
+            prev = np.stack([rot[0], rot[1], prev])
+        back = rot[2]
+        denom = max(abs(float(np.dot(prev[2], back))), 1e-3)
+        sx = cam.fx * abs(float(np.dot(prev[0], back))) / denom
+        sy = cam.fy * abs(float(np.dot(prev[1], back))) / denom
+        # roll (in-plane rotation — induced by yaw on a tilted camera)
+        # never moves `back`: its tangential sweep at radius r is
+        # r*sin(roll).  Budget for the MEAN pixel (tangential split
+        # between axes x mean radius ~ 0.25 of the corner-worst
+        # half-diagonal bound): the corner band's residual is exactly
+        # what the async policy's overflow tolerance exists to absorb
+        # transiently, while a corner-worst bound would double BOTH
+        # windows on every orbit pose (the over-classing this function
+        # is tuned to avoid).
+        roll = abs(float(np.dot(prev[0], rot[1])))
+        s_roll = 0.125 * float(np.hypot(cam.width, cam.height)) * roll
+        sx, sy = max(sx, 0.3 * sy) + s_roll, max(sy, 0.3 * sx) + s_roll
+
+        def win(shift):
+            for wdw in (8, 16, 32, 64, 128):
+                if shift <= wdw - 1:
+                    return wdw
+            return 128
+        return (win(sy), win(sx))
 
     def _check_pending_overflow(self):
         """Asynchronous escalation: inspect the PREVIOUS segmented
@@ -880,12 +913,12 @@ class Viewer:
                 self._clean_streak = 0
             if (self._clean_streak >= 8 and self.use_device_order
                     and not self._order_stale
-                    and self._last_hints is not None
+                    and self._hints_packed is not None
                     and getattr(self, "_segments_src", None)
                     != ("steady",)):
                 self._clean_streak = 0
                 from .ops import accel
-                cdf = accel.hint_class_cdf(self._last_hints[1])
+                cdf = accel.hint_class_cdf_packed(self._hints_packed)
                 self._segments = list(accel.segments_from_hint_cdf(
                     np.asarray(cdf), R))
                 self._segments_src = ("steady",)
@@ -903,7 +936,7 @@ class Viewer:
         # even the 128 cap overflowed (fb_ov), that ladder walks to the
         # exact renderer.
         self._ray_order = None
-        self._last_hints = None
+        self._hints_packed = None
 
     def _render_with_grid(self, track_visit: bool):
         """Frame with the octree wireframe overlay: the rasterized line

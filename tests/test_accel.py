@@ -567,6 +567,33 @@ def test_dilate_hints_and_cdf_segments():
     assert segs[-1][1] == 8
 
 
+def test_dilate_directional_windows():
+    """A (wy, wx) window tuple dilates each image axis by its own
+    reach (window-1 per direction, doubling roll-max): the anisotropic
+    pool must equal a manual per-axis neighborhood max in the
+    interior, for both the 3-array and the packed dilation."""
+    rng = np.random.default_rng(11)
+    H, W = 20, 32
+    nrec = rng.integers(0, 9, (H, W)).astype(np.int32)
+    z = np.zeros_like(nrec).reshape(-1)
+    wy, wx = 2, 4
+    _, d, _ = accel.dilate_hints(
+        jnp.asarray(z), jnp.asarray(nrec.reshape(-1)), jnp.asarray(z),
+        width=W, height=H, window=(wy, wx))
+    d = np.asarray(d).reshape(H, W)
+    ph = accel.pack_hints(jnp.asarray(z), jnp.asarray(nrec.reshape(-1)),
+                          jnp.asarray(z))
+    dp = np.asarray(accel.dilate_packed(
+        ph, width=W, height=H, window=(wy, wx))).reshape(H, W) >> 18
+    ry, rx = wy - 1, wx - 1                  # true reach per direction
+    exp = np.array([[nrec[max(0, y - ry):y + ry + 1,
+                          max(0, x - rx):x + rx + 1].max()
+                     for x in range(rx, W - rx)]
+                    for y in range(ry, H - ry)])
+    np.testing.assert_array_equal(d[ry:H - ry, rx:W - rx], exp)
+    np.testing.assert_array_equal(dp[ry:H - ry, rx:W - rx], exp)
+
+
 def test_segmented_return_hints():
     """return_hints on the segmented frame returns the same pixel-order
     hints an unsegmented hint frame would (modulo per-segment nrec
@@ -591,6 +618,53 @@ def test_segmented_return_hints():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(steps))
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(nrec))
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(skips))
+
+
+def test_segmented_packed_hints():
+    """return_hints="packed" folds the three hint arrays into one i32
+    (pack_hints layout) with identical pixels, and the packed rebuild
+    chain (dilate_packed / hint_class_cdf_packed /
+    order_from_packed_device) matches the 3-array chain where the
+    contracts overlap: exact nrec field under dilation, identical CDF,
+    identical class grouping in the rebuilt order."""
+    tree = sphere_tree(basis_dim=4, depth=4)
+    lm = accel.build_leaf_map(tree)
+    cam = Camera(64, 64, 60.0)
+    cam.center = np.array([-1.3, 0.2, 1.2], np.float32)
+    cam._update()
+    opt = RenderOptions()
+    cs = 256
+    img0, _, steps, nrec, skips = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=cs, block=16,
+        return_nrec=True, return_skips=True)
+    order = accel.order_from_hints(steps, nrec, skips)
+    segs = ((0.5, 2), (0.25, 4), (0.25, 16))
+    out = accel.render_frame_fast_segmented(
+        tree, lm, cam, opt, order=order, segments=segs, chunk_size=cs,
+        return_hints="packed")
+    img1, sov, ph = out
+    assert not np.asarray(sov).any()
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+    np.testing.assert_array_equal(
+        np.asarray(ph), np.asarray(accel.pack_hints(steps, nrec, skips)))
+    # dilated nrec field == independently dilated nrec (exact max)
+    dh3 = accel.dilate_hints(steps, nrec, skips, width=64, height=64,
+                             window=4)
+    dp = accel.dilate_packed(ph, width=64, height=64, window=4)
+    np.testing.assert_array_equal(np.asarray(dp) >> 18,
+                                  np.minimum(np.asarray(dh3[1]), 255))
+    np.testing.assert_array_equal(
+        np.asarray(accel.hint_class_cdf_packed(dp)),
+        np.asarray(accel.hint_class_cdf(dh3[1])))
+    # rebuilt order groups rays into the same nrec classes (the part
+    # budgets depend on); secondary tie-break may differ by design
+    perm3, inv3 = accel.order_from_hints_device(*dh3)
+    permp, invp = accel.order_from_packed_device(dp)
+    n_of = np.asarray(dh3[1])
+    np.testing.assert_array_equal(n_of[np.asarray(perm3)],
+                                  n_of[np.asarray(permp)])
+    np.testing.assert_array_equal(
+        np.asarray(permp)[np.asarray(invp)], np.arange(64 * 64))
 
 
 def test_device_fallback_escalation():

@@ -656,9 +656,14 @@ def test_foveated_guided_refinement_not_stale():
 def test_estimate_dilation_tracks_orbit():
     """The hint-dilation window must respond to the default orbit
     motion (rotation about world-up): a 3-degree pose sweeps ~58 px at
-    1080p/fx=1111, needing a >= 64 window.  Regression: reading the
-    transform's z-COLUMN (invariant under world-z rotation) instead of
-    the back ROW made every orbit look like zero motion."""
+    1080p/fx=1111, needing a >= 64 HORIZONTAL window — and the pool's
+    reach for window 64 is 63 px, so the ladder must select 64, not
+    over-dilate to 128 (the 0.9*w rung regression: 58 > 57.6 picked a
+    255x255 box and put ~50% of rays in the top record class).  The
+    sweep is directional: the VERTICAL window must stay <= 32.
+    Regression: reading the transform's z-COLUMN (invariant under
+    world-z rotation) instead of the back ROW made every orbit look
+    like zero motion."""
     t = sphere_tree(basis_dim=1, depth=3)
     v = Viewer(t, camera=Camera(1920, 1080, 1111.0))
     v.camera._update()
@@ -667,7 +672,9 @@ def test_estimate_dilation_tracks_orbit():
     v.camera.drag_update(-np.deg2rad(3.0) * 1920 / 2.0, 0.0)
     v.camera.end_drag()
     v.camera._update()
-    assert v._estimate_dilation() >= 64
+    wy, wx = v._estimate_dilation()
+    assert wx == 64, wx
+    assert wy <= 32, wy
 
 
 def test_prune_invalidates_guided_cache():
