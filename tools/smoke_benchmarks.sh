@@ -23,4 +23,5 @@ BENCH_WH=160x96 BENCH_DEPTH=5 run python benchmarks/foveated1080p.py 4 4 3
 BENCH_WH=256x144 BENCH_DEPTH=5 run python benchmarks/orbit4k.py 3
 BENCH_DEPTH=5               run python benchmarks/refine_throughput.py 2
 run python benchmarks/parity.py 200
+run python benchmarks/dma_gather_probe.py 12
 exit $fail
