@@ -92,6 +92,7 @@ def main():
     from mega_nerf_viewer_tpu.ops import accel
     orig_host = accel.order_from_hints
     orig_dev = accel.order_from_hints_device
+    orig_packed = accel.order_from_packed_device
 
     def counting_host(*a, **k):
         rebuilds[0] += 1
@@ -100,8 +101,13 @@ def main():
     def counting_dev(*a, **k):
         rebuilds[0] += 1
         return orig_dev(*a, **k)
+
+    def counting_packed(*a, **k):
+        rebuilds[0] += 1
+        return orig_packed(*a, **k)
     accel.order_from_hints = counting_host
     accel.order_from_hints_device = counting_dev
+    accel.order_from_packed_device = counting_packed
     try:
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
@@ -113,6 +119,7 @@ def main():
     finally:
         accel.order_from_hints = orig_host
         accel.order_from_hints_device = orig_dev
+        accel.order_from_packed_device = orig_packed
 
     fps = n_poses / dt
     record = {
