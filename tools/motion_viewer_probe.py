@@ -8,7 +8,12 @@ goes WITH the production skip table, options, and budget machinery.
 Forcing between stages serializes the chain (total > the benchmark's
 pipelined per-pose time); the split is what matters.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp
