@@ -84,7 +84,11 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
 
             acc = jax.lax.fori_loop(
                 0, CHUNK, step, jnp.zeros((W,), jnp.int32))
-            out_ref[0, :] = acc
+            # SMEM output: per-chunk sum as W scalar stores (static
+            # unroll) — sidesteps the (8, 128) VMEM block-tile rule
+            # for this tiny [1, W] per-step result
+            for j in range(W):
+                out_ref[0, j] = acc[j]
 
         pl.run_scoped(
             body,
@@ -97,9 +101,10 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((CHUNK,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, W), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((1, W), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((grid, W), jnp.int32),
         interpret=interpret,
     )
