@@ -84,11 +84,10 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
 
             acc = jax.lax.fori_loop(
                 0, CHUNK, step, jnp.zeros((W,), jnp.int32))
-            # SMEM output: per-chunk sum as W scalar stores (static
-            # unroll) — sidesteps the (8, 128) VMEM block-tile rule
-            # for this tiny [1, W] per-step result
-            for j in range(W):
-                out_ref[0, j] = acc[j]
+            # ONE scalar per chunk into SMEM (1-D output dodges the
+            # (8, 128) block-tile rule, which binds even SMEM blocks):
+            # the full-row sum still consumes every fetched byte
+            out_ref[0] = jnp.sum(acc)
 
         pl.run_scoped(
             body,
@@ -103,9 +102,9 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, W), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1,), lambda i: (i,),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, W), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid,), jnp.int32),
         interpret=interpret,
     )
     return jax.jit(lambda idx, table: fn(idx, table))
@@ -122,7 +121,7 @@ def build_xla_gather(M: int, W: int, N: int):
         # identical work shape: per-chunk row sums (the march consumes
         # every gathered row; summing is the cheapest full consumption)
         rows = jnp.take(table, idx, axis=0)          # [N, W] gather
-        return rows.reshape(grid, CHUNK, W).sum(1)
+        return rows.reshape(grid, CHUNK * W).sum(1)
     return fn
 
 
