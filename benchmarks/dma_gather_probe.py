@@ -61,7 +61,10 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
 
     def kernel(idx_ref, table_ref, out_ref):
         # idx_ref: [CHUNK] i32 in SMEM; table_ref: [M, W] i32 in
-        # HBM/ANY (never blocked in); out_ref: [1, W] i32 in VMEM.
+        # HBM/ANY (never blocked in); out_ref: [grid] i32 in SMEM
+        # (whole array, resident across the sequential grid).
+        pid = pl.program_id(0)       # outside run_scoped (interpret)
+
         def body(scratch, sems):
             def get_dma(slot, k):
                 return pltpu.make_async_copy(
@@ -84,10 +87,12 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
 
             acc = jax.lax.fori_loop(
                 0, CHUNK, step, jnp.zeros((W,), jnp.int32))
-            # ONE scalar per chunk into SMEM (1-D output dodges the
-            # (8, 128) block-tile rule, which binds even SMEM blocks):
-            # the full-row sum still consumes every fetched byte
-            out_ref[0] = jnp.sum(acc)
+            # ONE scalar per chunk into a WHOLE-ARRAY SMEM output
+            # (rank-1 blocks must be full-array or 128-multiples —
+            # even in SMEM); the block stays resident across the
+            # sequential grid, each step writing its own slot.  The
+            # full-row sum still consumes every fetched byte.
+            out_ref[pid] = jnp.sum(acc)
 
         pl.run_scoped(
             body,
@@ -102,8 +107,7 @@ def build_dma_gather(M: int, W: int, N: int, interpret: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1,), lambda i: (i,),
-                               memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((grid,), jnp.int32),
         interpret=interpret,
     )
