@@ -171,19 +171,28 @@ def main():
         xla = build_xla_gather(M, W, N)
         dma = build_dma_gather(M, W, N, interpret)
         ns_x, runs_x = time_ns_per_row(xla, idx, table, N)
-        # equality first: the DMA path must fetch the same rows
-        a = np.asarray(dma(idx, table))
-        b = np.asarray(xla(idx, table))
-        ok = bool(np.array_equal(a, b))
-        ns_d, runs_d = time_ns_per_row(dma, idx, table, N)
-        print(json.dumps({
+        rec = {
             "metric": "dma_vs_gather_ns_per_row", "width": W,
             "n_rows": N, "xla_ns": round(ns_x, 2),
-            "dma_ns": round(ns_d, 2),
-            "dma_over_xla": round(ns_d / max(ns_x, 1e-9), 2),
-            "equal": ok, "runs_us_xla": runs_x, "runs_us_dma": runs_d,
             "inflight": K_INFLIGHT, "chunk": CHUNK,
-        }), flush=True)
+        }
+        try:
+            # equality first: the DMA path must fetch the same rows
+            a = np.asarray(dma(idx, table))
+            b = np.asarray(xla(idx, table))
+            rec["equal"] = bool(np.array_equal(a, b))
+            ns_d, runs_d = time_ns_per_row(dma, idx, table, N)
+            rec.update(dma_ns=round(ns_d, 2),
+                       dma_over_xla=round(ns_d / max(ns_x, 1e-9), 2),
+                       runs_us_xla=runs_x, runs_us_dma=runs_d)
+        except Exception as e:  # noqa: BLE001 — record the refusal
+            # Finding, not failure: Mosaic requires DMA slices to be
+            # 128-aligned in the minor dim, so a per-row DMA of the
+            # leaf map's natural 8-wide rows is INEXPRESSIBLE — the
+            # minimum granule is 128 elements (16x the payload).
+            rec.update(dma_ns=None,
+                       dma_error=str(e).splitlines()[0][:160])
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
