@@ -541,11 +541,21 @@ class Viewer:
                                          window=window)
                 order = self._ray_order = \
                     accel.order_from_packed_device(dh)
-                src = ("dil", window)
+                # Headroom (one ladder step above the dilated CDF) only
+                # protects rays whose true sweep EXCEEDS the estimated
+                # window — under the async policy that residual is
+                # exactly what the tolerance-gated escalation absorbs
+                # as a transient band, and dropping it is a measured
+                # 320 -> 290 ms/frame (zero overflows on the orbit
+                # sweep; PERFORMANCE.md round-4 fact 6).  sync/device
+                # keep it: their overflow cost is a redo / in-frame
+                # fallback, not a tolerated band.
+                hroom = self.overflow_policy != "async"
+                src = ("dil", window, hroom)
                 if getattr(self, "_segments_src", None) != src:
                     cdf = accel.hint_class_cdf_packed(dh)
                     self._segments = list(accel.segments_from_hint_cdf(
-                        np.asarray(cdf), R, headroom=True))
+                        np.asarray(cdf), R, headroom=hroom))
                     self._segments_src = src
             else:
                 order = self._ray_order = accel.order_from_packed_device(

@@ -251,6 +251,42 @@ def test_viewer_async_policy_recovers_next_frame():
     assert v._segments == segs_before
 
 
+def test_motion_headroom_follows_overflow_policy():
+    """Motion-episode segment budgets derive WITHOUT the one-ladder-step
+    headroom under the async policy (the dilated CDF already
+    upper-bounds true records inside the window; the residual past the
+    window is the async tolerance's job — measured 320 -> 290 ms/frame,
+    PERFORMANCE.md round-4 fact 6), but KEEP headroom under
+    sync/device, whose overflow cost is a redo / in-frame fallback."""
+    from mega_nerf_viewer_tpu.ops import accel
+    for policy, hroom in (("async", False), ("sync", True),
+                          ("device", True)):
+        t = sphere_tree(basis_dim=1, depth=3)
+        cam = Camera(32, 24, 20.0)
+        cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+        v = Viewer(t, camera=cam)
+        v.overflow_policy = policy
+        v.render()                    # hint frame: steady segments
+        assert v._segments_src == ("steady",)
+        hints_before = v._hints_packed  # what the motion rebuild sees
+        v.camera.begin_drag(0.0, 0.0, False, True)
+        v.camera.drag_update(-2.0, 0.0)
+        v.camera.end_drag()
+        img = v.render()              # motion frame: dilated episode
+        assert np.isfinite(np.asarray(img)).all()
+        src = v._segments_src
+        assert src[0] == "dil" and src[2] is hroom, (policy, src)
+        # and the tuple really is the headroom-matched derivation
+        # (dilated keys upper-bound true records, so no escalation
+        # fires on this scene and the derived tuple survives verbatim)
+        dh = accel.dilate_packed(hints_before, width=32, height=24,
+                                 window=src[1])
+        cdf = np.asarray(accel.hint_class_cdf_packed(dh))
+        want = list(accel.segments_from_hint_cdf(cdf, 32 * 24,
+                                                 headroom=hroom))
+        assert v._segments == want, (policy, v._segments, want)
+
+
 def test_modelless_viewer_never_visit_tracks(monkeypatch):
     """A viewer with no model must stay on the fast path when the
     camera moves, even at full capacity — visit marks only feed the

@@ -79,6 +79,39 @@ v.camera.center, v.camera.v_back = pose0[0].copy(), pose0[1].copy()
 v.camera._update()
 v.render(fetch=False)
 
+# experiment: the motion frame at NO-HEADROOM budgets (same dilated
+# order; headroom promotion doubles every nonzero class budget — how
+# much of the 330 ms does it buy back if the async tolerance absorbs
+# the value transitions instead?)
+if v._hints_packed is not None and v._ray_order is not None:
+    R = W * H
+    dp = orig_dilate(v._hints_packed, width=W, height=H,
+                     window=(32, 64))
+    cdf = np.asarray(accel.hint_class_cdf_packed(dp))
+    segs_nh = tuple(accel.segments_from_hint_cdf(cdf, R,
+                                                 headroom=False))
+    segs_h = tuple(accel.segments_from_hint_cdf(cdf, R,
+                                                headroom=True))
+    order_x = orig_order(dp)
+    force(order_x[1])
+    import time as _t
+    for tag, segs in (("headroom", segs_h), ("NO-headroom", segs_nh)):
+        ts = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            out = orig_frame(
+                tree, v._leaf_map, v.camera, v.options, order=order_x,
+                segments=segs, chunk_size=v.fast_chunk_size,
+                need_votes=False, dynamic_knobs=True,
+                skip_table=getattr(v, "_skip_table", None),
+                device_fallback=False, return_hints="packed",
+                sorted_output=False)
+            force(out[0])
+            ts.append(_t.perf_counter() - t0)
+        ov = np.asarray(out[1])
+        print(f"[motion frame {tag}] {sorted(ts)[1]*1e3:.0f} ms "
+              f"segs={segs} overflow_counts={ov.tolist()}", flush=True)
+
 for p in range(6):
     stage_log.clear()
     orbit()
