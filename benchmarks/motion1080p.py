@@ -93,6 +93,7 @@ def main():
     orig_host = accel.order_from_hints
     orig_dev = accel.order_from_hints_device
     orig_packed = accel.order_from_packed_device
+    orig_motion = accel.render_frame_motion
 
     def counting_host(*a, **k):
         rebuilds[0] += 1
@@ -105,9 +106,15 @@ def main():
     def counting_packed(*a, **k):
         rebuilds[0] += 1
         return orig_packed(*a, **k)
+
+    def counting_motion(*a, **k):
+        # re-hint mode: each motion pose measures + rebuilds in-pass
+        rebuilds[0] += 1
+        return orig_motion(*a, **k)
     accel.order_from_hints = counting_host
     accel.order_from_hints_device = counting_dev
     accel.order_from_packed_device = counting_packed
+    accel.render_frame_motion = counting_motion
     try:
         t0 = time.perf_counter()
         acc = jnp.float32(0.0)
@@ -120,6 +127,7 @@ def main():
         accel.order_from_hints = orig_host
         accel.order_from_hints_device = orig_dev
         accel.order_from_packed_device = orig_packed
+        accel.render_frame_motion = orig_motion
 
     fps = n_poses / dt
     record = {
@@ -129,6 +137,7 @@ def main():
         "poses": n_poses,
         "deg_per_pose": deg,
         "policy": policy,
+        "motion_mode": v.motion_mode,
         "hint_rebuilds": rebuilds[0],
         "rays_per_sec": round(fps * width * height, 0),
     }

@@ -520,7 +520,15 @@ def render_rays_fast(tree: N3Tree,
                 w_buf = jnp.where(m, weight[:, None], w_buf)
                 if opt.render_depth:
                     t_buf = jnp.where(m, t[:, None], t_buf)
-                nd = jnp.where(can_rec, nd + 1, nd)
+            # nd counts EVERY dense sample, uncapped: slot writes above
+            # cap themselves via can_rec (only slots < max_dense are
+            # ever written) and shading masks with slots < nd (all
+            # written slots valid once nd >= max_dense), so pixels are
+            # unchanged — but the returned nrec becomes a TRUE record-
+            # need hint even from under-budget segments.  The budget-0
+            # hint pass (render_frame_motion) and the CDF trailing max
+            # (segments_from_hint_cdf top coverage) depend on this.
+            nd = nd + dense.astype(jnp.int32)
 
             T = jnp.where(dense, T * att, T)
             stop_now = dense & (T < stop_thresh)
@@ -1013,7 +1021,9 @@ def segments_from_hint_cdf(cdf_counts, R: int,
                            classes: tuple = (0, 1, 2, 4, 8),
                            quant: int = 16,
                            headroom: bool = False,
-                           max_budget: int = 128) -> tuple:
+                           max_budget: int = 128,
+                           margin: int = 0,
+                           top_headroom: bool = False) -> tuple:
     """(fraction, max_dense) segments from a hint-class CDF.
 
     Fractions are FLOORED to 1/``quant`` so every class boundary sits
@@ -1037,7 +1047,18 @@ def segments_from_hint_cdf(cdf_counts, R: int,
     neighborhood max of yesterday's 1s can predict.  One ladder step
     absorbs those; two-step jumps stay under the async tolerance.
     The zero class keeps budget 0: empty interiors are exactly what
-    dilation does bound."""
+    dilation does bound.
+
+    ``margin`` (RE-HINT motion, render_frame_motion): shift every
+    class boundary ``margin`` quanta BELOW its CDF floor.  The re-hint
+    path sorts by THIS pose's exact counts but derives budgets from a
+    previous pose's CDF (the only one the host has without a mid-pose
+    sync), so the exposure is pose-to-pose drift of the global class
+    HISTOGRAM — margin=1 tolerates 1/quant (6.25%) of frame rays
+    migrating up a class, for the price of that sliver rendering one
+    ladder step rich.  ``top_headroom`` rounds the final class budget
+    one ladder step past the observed max for the same reason (a new
+    pose can expose a heavier ray than any yesterday's max saw)."""
     counts = np.asarray(cdf_counts)
     top = int(classes[-1])
     if counts.shape[0] == len(classes) + 1:
@@ -1047,10 +1068,12 @@ def segments_from_hint_cdf(cdf_counts, R: int,
         counts = counts[:-1]
         while top < need and top < max_budget:
             top = max(1, top * 2)
+    if top_headroom and top < max_budget:
+        top = max(1, top * 2)
     segs = []
     used = 0.0
     for i, (c, cnt) in enumerate(zip(classes[:-1], counts[:-1])):
-        f = np.floor(cnt / R * quant) / quant
+        f = max(0.0, np.floor(cnt / R * quant) - margin) / quant
         f = min(f, 1.0 - 1.0 / quant)
         if f > used:
             md = int(classes[i + 1]) if (headroom and c > 0) else int(c)
@@ -1438,3 +1461,187 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     elif return_hints:
         out = out + (res["steps"], res["nrec"], res["skips"])
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt", "width", "seg_counts", "chunk_size",
+                     "unroll", "hint_chunk", "hint_stride"))
+def _motion_core(tree: N3Tree, leaf_map: LeafMap,
+                 stale_perm: jax.Array,
+                 transform: jax.Array, intr: jax.Array,
+                 rot_dirs: jax.Array, bg_value: jax.Array,
+                 dyn: Optional[jax.Array],
+                 skip_table: Optional[jax.Array],
+                 *, opt: RenderOptions, width: int,
+                 seg_counts: tuple, chunk_size: int, unroll: int,
+                 hint_chunk: int, hint_stride: int = 1):
+    """Two-pass RE-HINT motion frame in ONE dispatch: measure, sort,
+    march with steady budgets.
+
+    The dilation motion path PREDICTS each ray's record need from the
+    previous pose's neighborhood max, which fattens budget classes to
+    ~4.1 records/ray on the 1080p orbit sweep (vs 1.0 steady) — an
+    irreducible cost of protecting against silhouette sweeps it cannot
+    see (PERFORMANCE.md round-4 motion-floor analysis).  This core
+    replaces prediction with MEASUREMENT:
+
+      pass 1  budget-0 count-only march over the STALE order (record
+              buffers and deferred shading elided entirely; with the
+              march's uncapped nd counting, its nrec output is each
+              ray's TRUE record need at THIS pose);
+      sort    ``lax.sort((packed key, stale_perm))`` — the two-operand
+              sort carries the pixel ids through directly, so the
+              fresh perm needs no argsort-then-compose gather; ties
+              break by stale rank, preserving the previous pose's
+              secondary coherence within equal keys; scatter-inverse;
+      pass 2  the standard segmented march (:func:`_frame_core`) on
+              the fresh EXACT order — steady, un-fattened budgets
+              apply because the order reflects this pose's true
+              record counts, so overflow needs pose-to-pose histogram
+              drift past the 1/16 fraction quantization, not a
+              silhouette sweep.
+
+    Cost model: pass 1 ~= the march-step floor (no record selects, no
+    shading gather), pass 2 ~= a steady frame — both under the dilated
+    march's record-fattened cost.  One jit keeps the pose at ONE
+    dispatch round trip (the dev tunnel charges ~27 ms each).
+
+    ``hint_stride`` = 2 runs pass 1 at QUARTER resolution: the cost of
+    a stale-order march is dominated by chunk-max while-trip waste
+    (169 vs 63 ms fresh-order at 1080p, measured — step-coherence
+    decay, NOT record budgets), and that waste scales with ray count
+    (quarter rays: 42 ms).  ``stale_perm`` must then hold the QUARTER
+    subset (full-frame pixel ids at even y, even x) in a previous
+    pose's key order; the measured quarter keys are scattered to the
+    quarter grid, max-pooled one cell per axis (so full pixels BETWEEN
+    samples class by their neighborhood max — 2-px features are
+    covered exactly; 1-px silhouettes fall to the derivation margin +
+    the caller's async tolerance), broadcast 2x2 to full resolution,
+    and argsorted in pixel space.  Width and height must be even.
+
+    Returns dict(img [R, 4] pixel-order flat rows, seg_overflow,
+    perm, inv, cdf): ``perm`` feeds the NEXT pose's pass 1 when
+    stride=1 (``qperm`` — fresh quarter order — replaces it at
+    stride=2), ``cdf`` = :func:`hint_class_cdf_packed` of the fresh
+    keys so the caller can refresh segment budgets asynchronously.
+    Reference: the per-pose interactive loop, main.cpp:603-616.
+    """
+    from .rays import screen2worlddir_indices, rodrigues
+    Rm = stale_perm.shape[0]            # marched rays (R or R/4)
+    pad = (-Rm) % hint_chunk
+    pix = stale_perm if not pad else jnp.concatenate(
+        [stale_perm, jnp.broadcast_to(stale_perm[-1:], (pad,))])
+    dirs_p, cen = screen2worlddir_indices(
+        pix, width, intr[0], intr[1], intr[2], intr[3], transform)
+    vdirs_p = rodrigues(rot_dirs, dirs_p)
+    res = render_rays_fast(
+        tree, leaf_map, dirs_p, vdirs_p, cen, opt, max_dense=0,
+        chunk_size=hint_chunk if pix.shape[0] > hint_chunk else 0,
+        unroll=unroll, dyn=dyn, skip_table=skip_table)
+    key = pack_hints(res.steps, res.nrec, res.skips)[:Rm]
+    ret = {}
+    if hint_stride == 1:
+        _, perm = jax.lax.sort((key, stale_perm), num_keys=1,
+                               is_stable=True)
+        key_full = key                  # cdf over the marched keys
+        R = Rm
+    else:
+        # fresh quarter order for the NEXT pose's pass 1 (same
+        # two-operand sort trick, 1/4-size)
+        _, ret["qperm"] = jax.lax.sort((key, stale_perm), num_keys=1,
+                                       is_stable=True)
+        qw = width // 2
+        height = Rm // qw               # quarter grid is [H/2, W/2]
+        R = Rm * 4
+        py = stale_perm // width
+        px = stale_perm - py * width
+        q = (py >> 1) * qw + (px >> 1)
+        qimg = jnp.zeros((Rm,), jnp.int32).at[q].set(
+            key, unique_indices=True).reshape(height, qw)
+        # forward 2x2 max: a block's pixels lie BETWEEN samples
+        # (qy, qx)..(qy+1, qx+1), so the forward max is the exact
+        # neighborhood bound (a symmetric 3x3 pool over-fattened the
+        # class CDF for samples the block can't reach)
+        for ax in (0, 1):
+            qimg = jnp.maximum(qimg, jnp.roll(qimg, -1, ax))
+        key_full = jnp.repeat(jnp.repeat(qimg, 2, 0), 2, 1).reshape(-1)
+        perm = jnp.argsort(key_full, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(R, dtype=jnp.int32), unique_indices=True)
+    cdf = hint_class_cdf_packed(key_full)
+    out = _frame_core(
+        tree, leaf_map, perm, inv, transform, intr, rot_dirs, bg_value,
+        dyn, skip_table, opt=opt, width=width, seg_counts=seg_counts,
+        chunk_size=chunk_size, unroll=unroll, need_votes=False,
+        return_hints=False)
+    ret.update(img=out["img"], seg_overflow=out["seg_overflow"],
+               perm=perm, inv=inv, cdf=cdf)
+    return ret
+
+
+def render_frame_motion(tree: N3Tree, leaf_map: LeafMap, camera,
+                        opt: RenderOptions, stale_perm: jax.Array,
+                        segments=DEFAULT_SEGMENTS,
+                        chunk_size: int = 1 << 15,
+                        unroll: int = 1,
+                        dynamic_knobs: bool = False,
+                        skip_table: Optional[jax.Array] = None,
+                        hint_chunk: Optional[int] = None,
+                        hint_stride: int = 1):
+    """Re-hint two-pass motion frame (see :func:`_motion_core`).
+
+    ``stale_perm`` is any previous pose's ray order (its only job is
+    chunk coherence for the count pass — even a block permutation
+    works on the first moved frame); with ``hint_stride=2`` pass the
+    QUARTER order instead (the previous pose's returned ``qperm``, or
+    :func:`quarter_order_from_packed` of steady pixel-order hints at
+    an episode start).  ``segments`` should be a
+    ``segments_from_hint_cdf`` derivation with ``margin=1,
+    top_headroom=True``: the order is exact for THIS pose, so the
+    only overflow exposure is pose-to-pose drift of the global class
+    histogram (stride 1) plus sub-sample features (stride 2).
+    Pixels are bit-identical to the steady segmented frame at the
+    same order/budgets whenever no segment overflows.
+
+    Returns (img [H, W, 4], seg_overflow i32 [n_segments],
+    (perm, inv) device order, cdf i32 [6], qperm or None).
+    """
+    w, h = camera.width, camera.height
+    R = w * h
+    if hint_stride == 2 and (w % 2 or h % 2):
+        hint_stride = 1                 # quarter grid needs even dims
+    if hint_stride == 2 and stale_perm.shape[0] * 4 != R:
+        raise ValueError("hint_stride=2 needs the R/4 quarter order")
+    n_chunks = (R + chunk_size - 1) // chunk_size
+    transform, intr, rot_dirs, bg_value, dyn, opt2 = _frame_core_args(
+        camera, opt, dynamic_knobs)
+    res = _motion_core(
+        tree, leaf_map, stale_perm, transform, intr, rot_dirs,
+        bg_value, dyn, skip_table, opt=opt2, width=w,
+        seg_counts=segment_chunks(n_chunks, tuple(segments), n_rays=R,
+                                  chunk_size=chunk_size),
+        chunk_size=chunk_size, unroll=unroll,
+        hint_chunk=int(hint_chunk or chunk_size),
+        hint_stride=hint_stride)
+    return (res["img"].reshape(h, w, 4), res["seg_overflow"],
+            (res["perm"], res["inv"]), res["cdf"],
+            res.get("qperm"))
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def quarter_order_from_packed(ph: jax.Array, *, width: int):
+    """Initial quarter-resolution hint order for the stride-2 motion
+    path: subsample pixel-order packed hints at even rows/columns and
+    sort the full-frame pixel ids of those samples by their key —
+    the same (key, id) two-operand sort the motion core uses, so the
+    first moved frame's pass 1 starts chunk-coherent for free from
+    the steady frame's hints (one [R/4] sort per motion episode)."""
+    height = ph.shape[0] // width
+    qkey = ph.reshape(height, width)[::2, ::2].reshape(-1)
+    qw = width // 2
+    qi = jnp.arange(qkey.shape[0], dtype=jnp.int32)
+    qpix = (qi // qw) * 2 * width + (qi % qw) * 2
+    _, qperm = jax.lax.sort((qkey, qpix.astype(jnp.int32)),
+                            num_keys=1, is_stable=True)
+    return qperm

@@ -143,6 +143,26 @@ class Viewer:
         self._hints_packed = None
         self._order_stale = False
         self._clean_streak = 0
+        # How moved frames regain a valid order + budgets:
+        #  - "rehint": two-pass measured motion frame (accel.
+        #    _motion_core): a quarter-resolution budget-0 count march
+        #    MEASURES this pose's true record needs, the full order is
+        #    rebuilt from the upsampled keys, and the frame marches at
+        #    steady (margin=1) budgets — one fused dispatch per pose.
+        #    Measured 204 vs 320 ms/pose on the 1080p shell orbit: the
+        #    dilation path's real cost is stale-order chunk-max march
+        #    waste (169 vs 63 ms for the identical budget-0 march,
+        #    fresh vs one-pose-stale order), which measuring first
+        #    avoids paying at full resolution.
+        #  - "dilate": predict classes by max-dilating the previous
+        #    pose's hints over the estimated sweep window (legacy;
+        #    keeps every frame's order derivation measurement-free).
+        self.motion_mode = "rehint"
+        self._qperm = None
+        self._motion_cdf_dev = None
+        self._last_cdf = None
+        self._segments_motion = None
+        self._segments_motion_src = None
         # async-policy escalation tolerance: fraction of frame rays
         # allowed to exceed their class budget without escalating (the
         # moving-silhouette band; see _check_pending_overflow)
@@ -150,6 +170,13 @@ class Viewer:
         # async-policy flag-fetch cadence (1 = every frame; raise to
         # amortize the per-fetch host round trip on slow links)
         self.overflow_check_interval = 1
+        # flag-fetch cadence for RE-HINT motion poses specifically:
+        # their budgets derive from measured CDFs and drift only with
+        # the global class histogram, so a <=K-pose detection lag is
+        # well inside the async tolerance contract — while the fetch
+        # itself costs a host round trip per pose (~27 ms through the
+        # dev tunnel; measured 3.96 -> 4.55 fps at 1080p with K=4)
+        self.motion_flag_interval = 4
         # CDF-budget segmented guided collect (guided.py collect_t_fast
         # segments): once hints exist, hint-cheap ray classes march
         # with reduced record buffers (the ~half that record nothing
@@ -523,6 +550,20 @@ class Viewer:
         if hints is not None and hints.shape[0] != R:
             hints = self._hints_packed = None
         if (self.use_device_order and self._order_stale
+                and order is not None and hints is not None
+                and self.motion_mode == "rehint" and not need_votes
+                and self.overflow_policy == "async"
+                and self.camera.width % 2 == 0
+                and self.camera.height % 2 == 0):
+            # camera moved, re-hint mode: MEASURE this pose's record
+            # needs with a quarter-resolution count pass and render at
+            # steady budgets — one fused dispatch (see Viewer.
+            # motion_mode and accel._motion_core).  Async-policy only:
+            # sub-sample features can truncate within the tolerance
+            # band; sync/device policies keep the predictive dilate
+            # path whose dilated keys upper-bound true records.
+            return self._render_motion_rehint(hints, skip_table)
+        if (self.use_device_order and self._order_stale
                 and order is not None and hints is not None):
             # camera moved: rebuild the order from the LAST frame's
             # hints entirely on device (no host traffic for the sort).
@@ -690,10 +731,12 @@ class Viewer:
                 # this scene/pose (floor-quantized; exact keys on a
                 # parked camera make the classes provably sufficient)
                 cdf = accel.hint_class_cdf(jnp.asarray(nrec))
+                self._last_cdf = np.asarray(cdf)
                 self._segments = list(accel.segments_from_hint_cdf(
-                    np.asarray(cdf), self.camera.width
+                    self._last_cdf, self.camera.width
                     * self.camera.height))
                 self._segments_src = ("steady",)
+                self._segments_motion = None    # re-derive per episode
                 self._order_back = np.asarray(
                     self.camera.transform, np.float32)[:3, :].copy()
             else:
@@ -870,6 +913,52 @@ class Viewer:
             return 128
         return (win(sy), win(sx))
 
+    def _render_motion_rehint(self, hints, skip_table):
+        """One re-hint motion pose (Viewer.motion_mode == "rehint").
+
+        Drives accel.render_frame_motion (quarter-res measured hint
+        pass + fused segmented march) and maintains the episode state:
+        ``_qperm`` (quarter hint order, carried pose to pose),
+        ``_segments_motion`` (margin-1 steady-budget family derived
+        once per episode from the last known CDF), and the async
+        overflow protocol (flags checked one frame late; past the
+        tolerance the budgets re-derive from the LAST POSE's measured
+        CDF — the order is re-measured every pose, so unlike the
+        dilate path escalation never drops it)."""
+        from .ops import accel
+        w, h = self.camera.width, self.camera.height
+        R = w * h
+        if self._qperm is None or int(self._qperm.shape[0]) * 4 != R:
+            # episode start at this resolution: quarter order from the
+            # steady frame's pixel-order packed hints (one [R/4] sort;
+            # later episodes reuse the carried order — staleness only
+            # costs chunk coherence)
+            self._qperm = accel.quarter_order_from_packed(hints, width=w)
+        segments = getattr(self, "_segments_motion", None)
+        if segments is None or \
+                getattr(self, "_segments_motion_src", None) != ("rehint", R):
+            cdf = self._last_cdf
+            if cdf is None:
+                cdf = np.asarray(accel.hint_class_cdf_packed(hints))
+            segments = list(accel.segments_from_hint_cdf(
+                np.asarray(cdf), R, margin=1))
+            self._segments_motion = segments
+            self._segments_motion_src = ("rehint", R)
+        self._frame_sorted = False
+        img, seg_ov, order2, cdf_dev, qperm = accel.render_frame_motion(
+            self.tree, self._leaf_map, self.camera, self.options,
+            self._qperm, segments=tuple(segments),
+            chunk_size=self.fast_chunk_size,
+            dynamic_knobs=self.use_dynamic_knobs,
+            skip_table=skip_table, hint_stride=2)
+        self._qperm = qperm
+        self._ray_order = order2
+        self._motion_cdf_dev = cdf_dev
+        self._pending_ov = (list(segments), seg_ov, None, R, True,
+                            "rehint")
+        self._order_stale = False
+        return img, None
+
     def _check_pending_overflow(self):
         """Asynchronous escalation: inspect the PREVIOUS segmented
         frame's overflow flags (device-computed long ago — this fetch
@@ -885,11 +974,17 @@ class Viewer:
             # interval K the newest frame's flags are inspected every
             # Kth frame — staleness escalation is delayed <= K frames,
             # inside the async policy's transient-truncation contract.
+            # Re-hint motion poses use their own (longer) cadence: see
+            # Viewer.motion_flag_interval.
+            interval = int(self.overflow_check_interval)
+            if len(pending) > 5 and pending[5] == "rehint":
+                interval = max(interval, int(self.motion_flag_interval))
             self._ov_frame = getattr(self, "_ov_frame", 0) + 1
-            if self._ov_frame % max(1, int(self.overflow_check_interval)):
+            if self._ov_frame % max(1, interval):
                 return                    # keep the newest pending flags
         self._pending_ov = None
-        segments, seg_ov, fb_ov, R, moved = pending
+        segments, seg_ov, fb_ov, R, moved = pending[:5]
+        kind = pending[5] if len(pending) > 5 else "std"
         counts = np.asarray(seg_ov)
         # In "async" mode a bounded truncation band is the contract
         # UNDER MOTION (silhouette-sweep rays change record class every
@@ -906,6 +1001,22 @@ class Viewer:
         if self.overflow_policy == "async" and moved:
             tol = int(R * self.motion_overflow_tolerance)
         ov = counts > tol
+        if kind == "rehint" and ov.any():
+            # re-hint motion: the order re-measures every pose, so
+            # escalation is purely a BUDGET re-derivation from the
+            # last pose's measured CDF (device array computed in-pass;
+            # this fetch is [6] scalars off the critical path) — never
+            # an order drop or a ladder walk
+            from .ops import accel
+            if self._motion_cdf_dev is not None:
+                cdf = np.asarray(self._motion_cdf_dev)
+                self._last_cdf = cdf
+                self._segments_motion = list(accel.segments_from_hint_cdf(
+                    cdf, R, margin=1))
+                self._segments_motion_src = ("rehint", R)
+            return
+        if kind == "rehint":
+            return
         if not ov.any():
             # After a clean streak on a PARKED camera, re-derive the
             # budgets from the latest exact hints: motion episodes run
@@ -929,9 +1040,11 @@ class Viewer:
                 self._clean_streak = 0
                 from .ops import accel
                 cdf = accel.hint_class_cdf_packed(self._hints_packed)
+                self._last_cdf = np.asarray(cdf)
                 self._segments = list(accel.segments_from_hint_cdf(
-                    np.asarray(cdf), R))
+                    self._last_cdf, R))
                 self._segments_src = ("steady",)
+                self._segments_motion = None    # re-derive per episode
             return
         self._clean_streak = 0
         self._segments = [

@@ -266,6 +266,7 @@ def test_motion_headroom_follows_overflow_policy():
         cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
         v = Viewer(t, camera=cam)
         v.overflow_policy = policy
+        v.motion_mode = "dilate"      # this test pins the DILATE path
         v.render()                    # hint frame: steady segments
         assert v._segments_src == ("steady",)
         hints_before = v._hints_packed  # what the motion rebuild sees
@@ -285,6 +286,59 @@ def test_motion_headroom_follows_overflow_policy():
         want = list(accel.segments_from_hint_cdf(cdf, 32 * 24,
                                                  headroom=hroom))
         assert v._segments == want, (policy, v._segments, want)
+
+
+def test_motion_rehint_exact_and_protocol():
+    """Default motion mode "rehint" (async policy): moved frames route
+    through accel.render_frame_motion (quarter-res measured hint pass +
+    fused segmented march), carry the quarter order pose to pose, and
+    — segments being derived from the measured CDF with margin — match
+    the unsegmented fast frame to f32 reduction-order noise (1e-6).  Reference
+    per-pose loop: main.cpp:603-616."""
+    from mega_nerf_viewer_tpu.ops import accel
+    t = sphere_tree(basis_dim=1, depth=3)
+    cam = Camera(32, 24, 20.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    v = Viewer(t, camera=cam)
+    v.overflow_policy = "async"
+    assert v.motion_mode == "rehint"
+    calls = [0]
+    orig = accel.render_frame_motion
+
+    def spy(*a, **k):
+        calls[0] += 1
+        return orig(*a, **k)
+    accel.render_frame_motion = spy
+    try:
+        v.render()
+        assert v._segments_src == ("steady",)
+        for i in range(3):
+            v.camera.begin_drag(0.0, 0.0, False, True)
+            v.camera.drag_update(-2.0, 0.0)
+            v.camera.end_drag()
+            img = v.render()
+            assert calls[0] == i + 1          # routed through re-hint
+            ref, *_ = accel.render_frame_fast(
+                t, v._leaf_map, v.camera, v.options, max_dense=16,
+                chunk_size=0, return_nrec=True)
+            # 1e-6: XLA fuses/rounds f32 per batch SHAPE (PARITY.md);
+            # zero overflow means zero truncation, so any residual is
+            # pure reduction-order noise
+            np.testing.assert_allclose(np.asarray(img),
+                                       np.asarray(ref), atol=1e-6)
+        # episode state: carried quarter order + margin-derived budgets
+        assert v._qperm is not None
+        assert v._qperm.shape[0] * 4 == 32 * 24
+        assert v._segments_motion_src == ("rehint", 32 * 24)
+        # steady budgets untouched by the motion episode
+        assert v._segments_src == ("steady",)
+        # parked frame renders through the standard segmented path
+        # using the last pose's measured order
+        img = v.render()
+        assert calls[0] == 3
+        assert np.isfinite(np.asarray(img)).all()
+    finally:
+        accel.render_frame_motion = orig
 
 
 def test_modelless_viewer_never_visit_tracks(monkeypatch):
