@@ -5,6 +5,7 @@ from .render import (render_frame_sharded, render_rays_sharded,
 from .model import tp_param_specs, mlp_forward_tp, mlp_forward_all_tp
 from .step import make_frame_refine_step
 from .guided import guided_frame_sharded
+from .motion import (motion_episode_layout, render_frame_motion_sharded)
 from . import multihost
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "render_frame_fast_segmented_sharded",
     "tp_param_specs", "mlp_forward_tp", "mlp_forward_all_tp",
     "make_frame_refine_step", "guided_frame_sharded",
+    "motion_episode_layout", "render_frame_motion_sharded",
     "multihost",
 ]

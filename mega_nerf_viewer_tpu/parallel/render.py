@@ -164,7 +164,8 @@ def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
 
 def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
                          *, opt: RenderOptions, seg_counts,
-                         chunk_size: int, width: int):
+                         chunk_size: int, width: int,
+                         return_hints: bool = False):
     """Per-shard computation of the segmented sharded frame: shard-local
     raygen from pixel indices + the per-segment fast marches.
 
@@ -173,14 +174,16 @@ def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
     to produce the driver-captured v5e-8 slice projection (the sharded
     program's only intra-frame collective is the scalar overflow pmax,
     so per-chip time ~= frame time; the cross-chip output unpermute is
-    accounted separately).  Returns (out [per, 4], seg_overflow counts).
-    """
-    from ..ops.accel import render_rays_fast
+    accounted separately).  Returns (out [per, 4], seg_overflow counts)
+    — plus packed per-ray hints (accel.pack_hints, shard-local ray
+    order) when ``return_hints``: the sharded MOTION step feeds them
+    to the next pose's order rebuild (parallel/motion.py)."""
+    from ..ops.accel import render_rays_fast, pack_hints
     from ..ops.rays import screen2worlddir_indices, rodrigues
     dirs_p, cen = screen2worlddir_indices(
         pix, width, intr[0], intr[1], intr[2], intr[3], transform)
     vdirs_p = rodrigues(rot_dirs, dirs_p)
-    outs, ovs = [], []
+    outs, ovs, hints = [], [], []
     off = 0
     for c_chunks, md in seg_counts:
         if c_chunks == 0:
@@ -197,8 +200,13 @@ def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
             skip_table=skip)
         outs.append(res.out)
         ovs.append(res.overflow)
+        if return_hints:
+            hints.append(pack_hints(res.steps, res.nrec, res.skips))
         off += n
-    return jnp.concatenate(outs, 0), jnp.stack(ovs)
+    out = jnp.concatenate(outs, 0)
+    if return_hints:
+        return out, jnp.stack(ovs), jnp.concatenate(hints, 0)
+    return out, jnp.stack(ovs)
 
 
 @functools.lru_cache(maxsize=32)

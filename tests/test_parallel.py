@@ -376,3 +376,104 @@ def test_fast_segmented_sharded_sorted_output():
     np.testing.assert_array_equal(
         np.asarray(rows)[np.asarray(idx)].reshape(32, 32, 4),
         np.asarray(img))
+
+
+def test_motion_rehint_sharded_matches_single(eight_devices):
+    """Sharded re-hint motion pose (parallel/motion.py): on clean
+    (no-overflow) poses the frame equals the plain fast frame, the
+    measured CDF matches the single-chip motion core bit-exactly
+    (pooled-quarter x4 parity), and the quarter order re-deal stays a
+    permutation of the quarter pixels.  The only data collective is
+    the quarter-key psum — everything else is shard-local, which is
+    what the v5e-8 motion projection divides by."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=4, depth=4)
+    opt = RenderOptions()
+    cam = Camera(64, 48, 70.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+    R = 64 * 48
+    _, ov0, steps, nrec, skips = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=0,
+        return_nrec=True, return_skips=True)
+    assert not bool(ov0)
+    ph = accel.pack_hints(steps, nrec, skips)
+    perm, inv = accel.order_from_packed_device(ph)
+    qperm = accel.quarter_order_from_packed(ph, width=64)
+    cdf0 = np.asarray(accel.hint_class_cdf(jnp.asarray(nrec)))
+    # margin=2: on this tiny scene one quantum is only 192 rays, so a
+    # second quantum absorbs the sub-sample features small frames hit
+    # (1080p uses margin=1; overflow there is the async tolerance's
+    # job, see PERFORMANCE.md)
+    segs = accel.segments_from_hint_cdf(cdf0, R, margin=2,
+                                        top_headroom=True)
+    mesh = parallel.make_mesh((8,), (parallel.RAY_AXIS,), eight_devices)
+    pix_str, qpix_str = parallel.motion_episode_layout(
+        (perm, inv), qperm, mesh=mesh, chunk_size=64, hint_chunk=32)
+    qsp = qperm
+    for step_i, pose in enumerate([(-1.45, 0.12, 1.35),
+                                   (-1.42, 0.14, 1.38)]):
+        cam.center = np.array(pose, np.float32)
+        cam._update()
+        img_s, seg_ov, qpix_str, cdf_s = \
+            parallel.render_frame_motion_sharded(
+                tree, lm, cam, opt, qpix_str, pix_str, segs,
+                mesh=mesh, chunk_size=64, hint_chunk=32)
+        _, seg_ov_1, _, cdf_1, qsp = accel.render_frame_motion(
+            tree, lm, cam, opt, qsp, segments=segs, chunk_size=64,
+            hint_stride=2)
+        assert not np.asarray(seg_ov).any(), (step_i, np.asarray(seg_ov))
+        assert not np.asarray(seg_ov_1).any()
+        # measured-CDF parity with the single-chip motion core
+        np.testing.assert_array_equal(np.asarray(cdf_s),
+                                      np.asarray(cdf_1))
+        ref, *_ = accel.render_frame_fast(
+            tree, lm, cam, opt, max_dense=16, chunk_size=0,
+            return_nrec=True)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(ref),
+                                   atol=1e-5)
+        # the carried quarter deal remains a permutation of the
+        # quarter pixels (plus dealt padding sentinels)
+        qp = np.asarray(qpix_str)
+        real = np.sort(qp[qp < (1 << 30)])
+        np.testing.assert_array_equal(real, np.sort(np.asarray(qperm)))
+
+
+def test_motion_sharded_sorted_output_roundtrip(eight_devices):
+    """sorted_output mode: flat shard-dealt sorted rows + the pixel-id
+    map recover the pixel-order frame exactly (the display-consumer
+    contract of the steady sorted path, extended to motion)."""
+    from mega_nerf_viewer_tpu.ops import accel
+    tree = sphere_tree(basis_dim=1, depth=3)
+    opt = RenderOptions()
+    cam = Camera(32, 24, 24.0)
+    cam.center = np.array([-1.5, 0.1, 1.4], np.float32)
+    cam._update()
+    lm = accel.build_leaf_map(tree)
+    R = 32 * 24
+    _, ov0, steps, nrec, skips = accel.render_frame_fast(
+        tree, lm, cam, opt, max_dense=16, chunk_size=0,
+        return_nrec=True, return_skips=True)
+    ph = accel.pack_hints(steps, nrec, skips)
+    perm, inv = accel.order_from_packed_device(ph)
+    qperm = accel.quarter_order_from_packed(ph, width=32)
+    segs = ((0.5, 2), (0.5, 16))
+    mesh = parallel.make_mesh((8,), (parallel.RAY_AXIS,), eight_devices)
+    pix_str, qpix_str = parallel.motion_episode_layout(
+        (perm, inv), qperm, mesh=mesh, chunk_size=16, hint_chunk=16)
+    cam.center = np.array([-1.45, 0.12, 1.38], np.float32)
+    cam._update()
+    img_px, seg_ov, _, _ = parallel.render_frame_motion_sharded(
+        tree, lm, cam, opt, qpix_str, pix_str, segs, mesh=mesh,
+        chunk_size=16, hint_chunk=16)
+    rows, pix_sorted, seg_ov2, _, _ = parallel.render_frame_motion_sharded(
+        tree, lm, cam, opt, qpix_str, pix_str, segs, mesh=mesh,
+        chunk_size=16, hint_chunk=16, sorted_output=True)
+    # consumer-side remap: scatter rows at their pixel ids, drop pads
+    rows = np.asarray(rows)
+    pid = np.asarray(pix_sorted)
+    out = np.zeros((R, 4), np.float32)
+    out[pid[pid < R]] = rows[pid < R]
+    np.testing.assert_array_equal(out.reshape(24, 32, 4),
+                                  np.asarray(img_px))
