@@ -27,7 +27,19 @@ import os as _os
 # remote service and cold-process startup paid 30 s - minutes per
 # executable; with the on-disk cache a warm artifact loads in <1 s
 # (measured 29.5 s -> 0.5 s).  Respect an explicit user configuration.
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+#
+# CPU runs get NO persistent cache: XLA:CPU cache entries are AOT
+# machine code whose recorded target features include XLA-internal
+# pseudo-features (+prefer-no-scatter/+prefer-no-gather) the loader
+# can never match against a real host's CPUID set — every cache load
+# warns "machine type ... doesn't match ... could lead to execution
+# errors such as SIGILL" (jax 0.9.0, observed 2026-08-19), and two
+# full-suite runs crashed with SIGSEGV at random late points
+# (cache-entry serialize; an unrelated compile) consistent with a
+# mis-loaded executable corrupting memory.  CPU compiles are local
+# and fast; only the TPU remote-compile service needs the cache.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", ""):
     try:
         import jax as _jax
         _cache = _os.path.join(

@@ -22,6 +22,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(session, config, items):
+    """Isolate the web-server tests in a fresh subprocess when they are
+    part of a larger session.
+
+    XLA:CPU intermittently SIGSEGVs when COMPILING on a background
+    thread late in a long-lived test process (four suite crashes on
+    2026-08-19, every one inside native compile/serialize code on the
+    web render thread at ~86% of the full run, with and without the
+    persistent compile cache; standalone ``pytest tests/test_web.py``
+    and half-suite runs always pass).  The web render thread is the
+    only place the suite compiles off the main thread, so when other
+    tests are collected too the in-process web tests are skipped and
+    ``test_web_isolation.py`` re-runs them in a young subprocess.
+    """
+    web = [i for i in items if i.fspath and i.fspath.basename == "test_web.py"]
+    if web and len(web) < len(items):
+        mark = pytest.mark.skip(
+            reason="runs in an isolated subprocess (test_web_isolation)")
+        for item in web:
+            item.add_marker(mark)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
