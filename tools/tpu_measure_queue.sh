@@ -15,7 +15,9 @@
 #  1. bench.py           — DONE r4: 16.53 fps headline, sorted 19.57,
 #                          v5e-8 projection 61.7/95.5, rc=0 (r3 was
 #                          16.43/19.43 before the tunnel died)
-#  2. motion1080p        — DONE r3: 2.351 fps
+#  2. motion1080p        — DONE r4: 4.552 fps re-hint mode (2.351 r3
+#                          dilate; progression in PERFORMANCE.md
+#                          round-4 facts 5-7)
 #  3. motion_guided1080p — DONE r4: f=1 2.65 fps, f=4 1.792 fps, both
 #                          with compile-quiescence warmup (the r3
 #                          "0.174 fps known-bad" f=4 figure was the
