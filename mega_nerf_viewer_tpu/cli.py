@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approximate foveated mode: periphery rendered "
                         "at 1/N resolution, center window exact "
                         "(1 = off)")
+    p.add_argument("--motion-mode", choices=("rehint", "dilate"),
+                   default="rehint",
+                   help="how async-policy moved frames regain ray "
+                        "order + budgets: 'rehint' measures each pose "
+                        "with a fused quarter-res count march; "
+                        "'dilate' predicts classes from the previous "
+                        "pose's dilated hints")
     p.add_argument("--host-unpermute", action="store_true",
                    help="sorted-frame display delivery: the compiled "
                         "frame skips its final unpermute and the "
@@ -150,6 +157,7 @@ def main(argv=None) -> int:
     viewer.use_turbo_map = args.turbo
     viewer.foveation = args.foveation
     viewer.host_unpermute = args.host_unpermute
+    viewer.motion_mode = args.motion_mode
 
     if args.model_path:
         viewer.load_model(args.model_path)

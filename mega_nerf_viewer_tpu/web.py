@@ -80,7 +80,8 @@ _CAM_VECTORS = ("center", "origin", "v_back", "v_world_up")
 # Viewer execution knobs exposed in the extra "TPU" panel section
 _VIEWER_FLAGS = ("use_fast_path", "use_dynamic_knobs", "use_turbo_map",
                  "use_prepass", "use_device_order", "foveation",
-                 "overflow_policy", "host_unpermute")
+                 "overflow_policy", "host_unpermute", "motion_mode",
+                 "motion_flag_interval")
 
 
 class WebViewer:
@@ -400,8 +401,13 @@ class WebViewer:
                         raise ValueError("overflow_policy must be "
                                          "sync|async|device")
                     v.overflow_policy = val
-                elif k == "foveation":
-                    v.foveation = max(1, int(val))
+                elif k == "motion_mode":
+                    if val not in ("rehint", "dilate"):
+                        raise ValueError("motion_mode must be "
+                                         "rehint|dilate")
+                    v.motion_mode = val
+                elif k in ("foveation", "motion_flag_interval"):
+                    setattr(v, k, max(1, int(val)))
                 else:
                     setattr(v, k, bool(val))
         elif t == "open":
@@ -644,6 +650,12 @@ _PAGE = ("""<!doctype html>
    </select></label>
   <label><span class="k">foveation</span>
    <input type="number" min="1" data-viewer="foveation"></label>
+  <label><span class="k">motion</span>
+   <select data-viewer="motion_mode">
+    <option>rehint</option><option>dilate</option>
+   </select></label>
+  <label><span class="k">flag int.</span>
+   <input type="number" min="1" data-viewer="motion_flag_interval"></label>
  </details>
  <div id="err"></div>
 </div>

@@ -236,11 +236,14 @@ def test_camera_edit_normalizes_dirs(server):
 def test_viewer_knob_roundtrip(server):
     _, base = server
     _post(base + "/event", {"t": "viewer", "overflow_policy": "async",
-                            "foveation": 2})
+                            "foveation": 2, "motion_mode": "dilate",
+                            "motion_flag_interval": 8})
     s = _state(base)["viewer"]
     assert s["overflow_policy"] == "async" and s["foveation"] == 2
+    assert s["motion_mode"] == "dilate"
+    assert s["motion_flag_interval"] == 8
     _post(base + "/event", {"t": "viewer", "overflow_policy": "sync",
-                            "foveation": 1})
+                            "foveation": 1, "motion_mode": "rehint"})
 
 
 def test_bad_event_reports_error(server):
