@@ -1544,7 +1544,7 @@ def _motion_core(tree: N3Tree, leaf_map: LeafMap,
     if hint_stride == 1:
         _, perm = jax.lax.sort((key, stale_perm), num_keys=1,
                                is_stable=True)
-        key_full = key                  # cdf over the marched keys
+        cdf = hint_class_cdf_packed(key)
         R = Rm
     else:
         # fresh quarter order for the NEXT pose's pass 1 (same
@@ -1565,11 +1565,30 @@ def _motion_core(tree: N3Tree, leaf_map: LeafMap,
         # class CDF for samples the block can't reach)
         for ax in (0, 1):
             qimg = jnp.maximum(qimg, jnp.roll(qimg, -1, ax))
-        key_full = jnp.repeat(jnp.repeat(qimg, 2, 0), 2, 1).reshape(-1)
-        perm = jnp.argsort(key_full, stable=True).astype(jnp.int32)
+        # cell-sort rebuild: every pixel of a 2x2 block shares its
+        # pooled cell key, so sort the R/4 CELLS and expand each to
+        # its 4 pixel ids — a 4x smaller sort, and the upsampled
+        # key_full never materializes (measured 32 -> 26 ms at 1080p
+        # on v5e).  Any key-sorted order is a valid schedule: budgets
+        # are assigned by rank, and class boundaries only shift within
+        # equal-key ties.
+        pooled = qimg.reshape(-1)
+        cid = jnp.arange(Rm, dtype=jnp.int32)
+        _, csort = jax.lax.sort((pooled, cid), num_keys=1,
+                                is_stable=True)
+        cy = csort // qw
+        cx = csort - cy * qw
+        base = (cy * 2) * width + cx * 2
+        perm = (base[:, None]
+                + jnp.asarray([0, 1, width, width + 1], jnp.int32)
+                [None, :]).reshape(-1)
+        # CDF parity with the sharded body (parallel/motion.py): each
+        # pooled cell covers 4 pixels — class counts x4, trailing max
+        # unchanged
+        cdf4 = hint_class_cdf_packed(pooled)
+        cdf = jnp.concatenate([cdf4[:-1] * 4, cdf4[-1:]])
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(R, dtype=jnp.int32), unique_indices=True)
-    cdf = hint_class_cdf_packed(key_full)
     out = _frame_core(
         tree, leaf_map, perm, inv, transform, intr, rot_dirs, bg_value,
         dyn, skip_table, opt=opt, width=width, seg_counts=seg_counts,

@@ -177,6 +177,10 @@ class Viewer:
         # itself costs a host round trip per pose (~27 ms through the
         # dev tunnel; measured 3.96 -> 4.55 fps at 1080p with K=4)
         self.motion_flag_interval = 4
+        # margin for mid-episode SETTLED re-hint budgets (derived from
+        # measured in-pass CDFs at clean flag checks; the episode-start
+        # tuple always uses margin=1 — see _check_pending_overflow)
+        self.motion_settled_margin = 0
         # CDF-budget segmented guided collect (guided.py collect_t_fast
         # segments): once hints exist, hint-cheap ray classes march
         # with reduced record buffers (the ~half that record nothing
@@ -1016,6 +1020,29 @@ class Viewer:
                 self._segments_motion_src = ("rehint", R)
             return
         if kind == "rehint":
+            # Clean check mid-episode: SETTLE the budgets from the
+            # newest measured CDF at motion_settled_margin (default 0
+            # — the episode-start tuple carries margin=1 to bridge the
+            # steady->measured CDF gap, but once in-pass CDFs arrive,
+            # the only overflow exposure left is per-POSE histogram
+            # drift, which this same flag check detects and escalates;
+            # measured ~15-20 ms/pose cheaper at 1080p).  Adopted only
+            # when CHEAPER than the running tuple so trailing-max
+            # jitter (one heavy ray doubling the top class) never
+            # compiles a richer variant outside the escalation path.
+            if (self._motion_cdf_dev is not None
+                    and self._segments_motion is not None):
+                from .ops import accel
+                cdf = np.asarray(self._motion_cdf_dev)
+                self._last_cdf = cdf
+                cand = list(accel.segments_from_hint_cdf(
+                    cdf, R, margin=int(self.motion_settled_margin)))
+
+                def mass(segs):
+                    return sum(f * md for f, md in segs)
+                if mass(cand) < mass(self._segments_motion):
+                    self._segments_motion = cand
+                    self._segments_motion_src = ("rehint", R)
             return
         if not ov.any():
             # After a clean streak on a PARKED camera, re-derive the
