@@ -26,6 +26,10 @@ def apply(width: int, height: int, depth=None):
     if os.environ.get("BENCH_FORCE_CPU"):
         import jax
         jax.config.update("jax_platforms", "cpu")
+        # The package enabled the persistent jit cache at import time
+        # (before this override ran) believing the run was TPU; XLA:CPU
+        # AOT cache entries are a SIGILL/SIGSEGV risk — turn it off.
+        jax.config.update("jax_compilation_cache_dir", None)
         smoke = True
     wh = os.environ.get("BENCH_WH")
     if wh:

@@ -42,6 +42,13 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         and "cpu" not in _os.environ.get("JAX_PLATFORMS", ""):
     try:
         import jax as _jax
+        # The axon plugin ignores JAX_PLATFORMS; CPU is forced via
+        # jax.config.update("jax_platforms", "cpu") BEFORE importing
+        # this package (conftest, _overrides, user scripts) — honor
+        # that too, or CPU runs silently re-enable the AOT-cache
+        # SIGILL/SIGSEGV path the env-var check exists to close.
+        if "cpu" in (getattr(_jax.config, "jax_platforms", None) or ""):
+            raise ImportError("cpu platform forced via jax.config")
         _cache = _os.path.join(
             _os.path.expanduser("~"), ".cache", "mega_nerf_viewer_tpu",
             "jit")
