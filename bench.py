@@ -6,116 +6,235 @@ mirroring BASELINE config 2.  Prints ONE JSON line:
   {"metric": "frames_per_sec_1080p", "value": N, "unit": "fps",
    "vs_baseline": N/30, "sorted_mode_fps": N,
    "projected_v5e8_fps": N, "projected_v5e8_sorted_fps": N,
-   "projection_method": "per-shard-timed"}
+   "projected_v5e8_motion_fps": N, "projection_method": "per-shard-timed"}
 (vs_baseline: BASELINE.md target is >= 30 fps at 1080p — defined on a
 v5e-8 slice; `value` is the single-chip figure, the projected_* keys
 carry the slice projection measured by timing each of the sharded
 program's 8 per-shard bodies on this one chip.)
 
-When the accelerator backend is unresponsive the line carries value
-0.0 and an "error" key with the diagnosis (exit code 3): consumers of
-the fps series must treat a record WITH "error" as "no measurement",
-not a 0-fps regression.
+Deadline-proof structure (rounds 3+4 lost their driver-captured record
+to a dead tunnel / driver timeout): the benchmark body runs in a CHILD
+process that streams incremental "##RECORD## {json}" updates as each
+measurement lands; the PARENT is pure Python (no jax — nothing that can
+hang on a stuck PJRT call), supervises with a deadline, and prints the
+single JSON line when the child finishes, when it receives SIGTERM/
+SIGINT (the driver's `timeout` sends TERM), or when the self-deadline
+expires — whichever comes first, carrying the best record known so far.
+There is no pre-flight backend probe: a healthy-but-slow tunnel has
+been observed taking ~4 min to answer a trivial op (BENCH_r04), so a
+capped probe would false-negative; a DEAD tunnel simply means the child
+never reports and the parent emits the structured error record at the
+deadline.  The always-live fps counter this mirrors:
+/root/reference/main.cpp:37-58.
+
+When no measurement completes, the line carries value 0.0 and an
+"error" key with the diagnosis (exit code 3): consumers of the fps
+series must treat a record WITH "error" as "no measurement", not a
+0-fps regression.  The error record references the most recent
+successful run only by POINTER (path/commit/date of
+benchmarks/last_valid.json, machine-written by the last rc=0 run) —
+never inlined fps values.
 """
 
 import json
 import os
+import selectors
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
+RECORD_MARK = "##RECORD## "
+_REPO = os.path.dirname(os.path.abspath(__file__))
+LAST_VALID_PATH = os.path.join(_REPO, "benchmarks", "last_valid.json")
 
 
-def _probe_backend_once(timeout_s: float = 240.0):
-    """Run a trivial jax op in a subprocess with a hard timeout.
+# ----------------------------------------------------------------------
+# parent supervisor (no jax imports on this path)
+# ----------------------------------------------------------------------
 
-    The axon dev tunnel can die in a way that makes ANY jax call hang
-    forever (even ``jax.devices()``), which would turn this benchmark
-    into an unbounded hang for whoever drives it.  A subprocess probe
-    is the only reliable detector — in-process timeouts can't interrupt
-    a stuck PJRT call.  The probe imports the package first so the
-    persistent compile cache is enabled (a cold remote-compile queue
-    can take minutes; the cached trivial op answers in seconds).
-
-    Returns None when healthy, else a one-line diagnosis.
-    """
-    import subprocess
-    force_cpu = ("import jax; jax.config.update('jax_platforms', 'cpu');"
-                 if os.environ.get("BENCH_FORCE_CPU") else "")
+def _last_valid_ref():
+    """Pointer (path/commit/date, NO fps values) to the most recent
+    machine-written successful record, if one exists."""
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             force_cpu +
-             "import mega_nerf_viewer_tpu;"
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.arange(8).sum()))"],
-            timeout=timeout_s, capture_output=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return (f"trivial jax op hung >{timeout_s:.0f}s — dead device "
-                "tunnel?")
-    if r.returncode != 0:
-        tail = r.stderr.decode(errors="replace").strip().splitlines()
-        return ("backend probe subprocess failed: "
-                + ("; ".join(tail[-3:]) if tail else f"rc={r.returncode}"))
-    return None
+        with open(LAST_VALID_PATH) as f:
+            d = json.load(f)
+        return {
+            "path": os.path.relpath(LAST_VALID_PATH, _REPO),
+            "commit": d.get("commit"),
+            "date": d.get("date"),
+            "note": ("machine-written record of the most recent "
+                     "successful bench.py run; numbers intentionally "
+                     "not inlined — read the file"),
+        }
+    except Exception:
+        return None
 
 
-def _probe_backend():
-    """Probe the backend with retry/backoff before giving up.
-
-    Round 3 lost its entire driver-captured perf record to ONE transient
-    tunnel outage: the probe tried once, emitted the error record, and
-    the round scored 0.0 even though the same chip had answered hours
-    earlier.  Transient tunnel death is the COMMON failure mode here, so
-    the probe now makes 3 attempts with backoff (~12 min worst case)
-    and only then emits the structured error.  Each attempt's outcome is
-    logged to stderr so queue logs carry probe health.
-    """
-    backoffs = (60.0, 180.0)       # sleeps between the 3 attempts
-    err = None
-    for attempt in range(len(backoffs) + 1):
-        t0 = time.time()
-        err = _probe_backend_once()
-        dt = time.time() - t0
-        if err is None:
-            print(f"# probe-health: attempt {attempt + 1} ok "
-                  f"({dt:.1f}s)", file=sys.stderr)
-            return None
-        print(f"# probe-health: attempt {attempt + 1} FAILED "
-              f"({dt:.1f}s): {err}", file=sys.stderr)
-        if attempt < len(backoffs):
-            print(f"# probe-health: backing off {backoffs[attempt]:.0f}s "
-                  "before retry", file=sys.stderr)
-            time.sleep(backoffs[attempt])
-    return err
+def _error_record(diag: str) -> dict:
+    rec = {"metric": "frames_per_sec_1080p", "value": 0.0, "unit": "fps",
+           "vs_baseline": 0.0,
+           "error": f"no measurement completed: {diag}"}
+    ref = _last_valid_ref()
+    if ref is not None:
+        rec["last_valid_capture_ref"] = ref
+    return rec
 
 
-def main():
-    err = _probe_backend()
-    if err is not None:
-        # keep the driver contract (ONE JSON line on stdout) even when
-        # aborting: an explicit structured error beats an infinite hang.
-        # Round 3 lost its entire perf record to exactly this outage, so
-        # the error record also carries the most recent VALID capture on
-        # this chip (clearly labeled — it is prior evidence, not this
-        # run's measurement) so one outage can't zero a round's numbers.
-        print(json.dumps({
-            "metric": "frames_per_sec_1080p", "value": 0.0,
-            "unit": "fps", "vs_baseline": 0.0,
-            "error": f"accelerator backend unresponsive: {err}",
-            "last_valid_capture": {
-                "value": 16.529, "sorted_mode_fps": 19.566,
-                "projected_v5e8_fps": 61.7,
-                "projected_v5e8_sorted_fps": 95.5,
-                "date": "2026-08-19", "commit": "04ec9cd",
-                "note": ("prior rc=0 bench.py run on the same chip, "
-                         "NOT this run's measurement"),
-            },
-        }))
-        print(f"bench.py: {err}; aborting instead of hanging",
+def supervise() -> int:
+    state = {"record": None, "printed": False, "child": None}
+
+    def emit():
+        if state["printed"]:
+            return
+        state["printed"] = True
+        rec = state["record"] or _error_record("child exited silently")
+        sys.stdout.write(json.dumps(rec) + "\n")
+        sys.stdout.flush()
+
+    def on_signal(signum, frame):
+        if state["record"] is None:
+            state["record"] = _error_record(
+                f"killed by signal {signum} before the first "
+                "measurement completed (driver timeout or operator "
+                "interrupt; a dead device tunnel makes the child hang "
+                "silently)")
+        emit()
+        child = state["child"]
+        if child is not None and child.poll() is None:
+            try:
+                child.kill()
+            except Exception:
+                pass
+        os._exit(3 if "error" in state["record"] else 0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "3300"))
+    deadline = time.monotonic() + deadline_s
+
+    env = dict(os.environ, _BENCH_CHILD="1", PYTHONUNBUFFERED="1")
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        stdout=subprocess.PIPE, env=env, cwd=_REPO)
+    state["child"] = child
+
+    sel = selectors.DefaultSelector()
+    sel.register(child.stdout, selectors.EVENT_READ)
+    buf = b""
+
+    def handle_line(raw: bytes):
+        s = raw.decode(errors="replace").rstrip("\n")
+        if s.startswith(RECORD_MARK):
+            try:
+                state["record"] = json.loads(s[len(RECORD_MARK):])
+            except Exception:
+                print(f"# bench parent: unparseable record line: {s!r}",
+                      file=sys.stderr)
+        elif s:
+            # forward child stdout as a diagnostic, never a bare JSON
+            # line (the driver-contract line is the parent's alone)
+            print(s, file=sys.stderr)
+
+    timed_out = False
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            timed_out = True
+            break
+        events = sel.select(timeout=min(remaining, 5.0))
+        if events:
+            chunk = os.read(child.stdout.fileno(), 1 << 16)
+            if not chunk:
+                break                      # EOF: child exited
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                handle_line(line)
+        elif child.poll() is not None:
+            # drain anything the child flushed right before exiting
+            # (its pipe end is closed, so this read cannot block)
+            try:
+                rest = child.stdout.read()
+            except Exception:
+                rest = b""
+            if rest:
+                buf += rest
+            break
+
+    if buf:
+        handle_line(buf)
+
+    if timed_out:
+        try:
+            child.kill()
+        except Exception:
+            pass
+        if state["record"] is None:
+            state["record"] = _error_record(
+                f"self-deadline {deadline_s:.0f}s expired before the "
+                "first measurement completed — dead device tunnel or "
+                "pathological remote-compile queue")
+        else:
+            state["record"]["note"] = (
+                f"self-deadline {deadline_s:.0f}s expired; record is "
+                "the last completed measurement stage")
+        emit()
+        return 3 if "error" in state["record"] else 0
+
+    rc = child.wait()
+    if state["record"] is None:
+        state["record"] = _error_record(
+            f"bench child exited rc={rc} before the first measurement "
+            "completed")
+    elif rc != 0 and "error" not in state["record"]:
+        state["record"]["note"] = (
+            f"bench child exited rc={rc} after this measurement stage; "
+            "later stages (projections) may be missing")
+    emit()
+    return 3 if "error" in state["record"] else 0
+
+
+# ----------------------------------------------------------------------
+# child: the actual benchmark (streams ##RECORD## updates)
+# ----------------------------------------------------------------------
+
+def _emit_record(record: dict):
+    print(RECORD_MARK + json.dumps(record), flush=True)
+
+
+def _write_last_valid(record: dict):
+    """Machine-write the successful record (pointed to — never inlined —
+    by future outage error records).  Smoke runs never overwrite it."""
+    if record.get("smoke"):
+        return
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=_REPO).stdout.strip() or None
+    except Exception:
+        commit = None
+    payload = {
+        "record": record,
+        "commit": commit,
+        "date": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+        "argv": sys.argv[1:],
+        "writer": "bench.py (machine-generated on a successful run)",
+    }
+    tmp = LAST_VALID_PATH + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, LAST_VALID_PATH)
+    except Exception as e:
+        print(f"# bench: could not write {LAST_VALID_PATH}: {e!r}",
               file=sys.stderr)
-        return 3
+
+
+def child_main() -> int:
+    import numpy as np
     import jax
     if os.environ.get("BENCH_FORCE_CPU"):
         # dev smoke only (pair with BENCH_WH): exercises the full bench
@@ -135,6 +254,7 @@ def main():
         # the full bench flow at a size a dev box finishes in seconds —
         # NOT a reportable configuration
         width, height = (int(x) for x in wh.split("x"))
+    smoke = bool(os.environ.get("BENCH_FORCE_CPU") or wh)
 
     t0 = time.time()
     if len(sys.argv) > 1 and sys.argv[1].endswith(".npz"):
@@ -225,6 +345,20 @@ def main():
     fps = time_frames(frame)
     rays_per_sec = fps * width * height
 
+    record = {
+        "metric": "frames_per_sec_1080p",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    if smoke:
+        record["smoke"] = True      # env-overridden run: NOT reportable
+    _emit_record(record)            # primary measurement: secured NOW
+    print(f"# device={jax.devices()[0].device_kind} "
+          f"chunks={int(tree.capacity)} depth={depth} "
+          f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "
+          f"alpha_max={alpha:.3f}", file=sys.stderr)
+
     # Sorted-frame display mode (Viewer.host_unpermute / render_rgba8 /
     # web viewer): the compiled frame skips its final [R, 4] unpermute
     # — a measured ~10.8 ms per-row gather floor — and the display
@@ -239,20 +373,8 @@ def main():
             skip_table=skip_table, sorted_output=True)
 
     sorted_fps = time_frames(frame_sorted)
-
-    record = {
-        "metric": "frames_per_sec_1080p",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
-        "sorted_mode_fps": round(sorted_fps, 3),
-    }
-    if os.environ.get("BENCH_FORCE_CPU") or wh:
-        record["smoke"] = True      # env-overridden run: NOT reportable
-    print(f"# device={jax.devices()[0].device_kind} "
-          f"chunks={int(tree.capacity)} depth={depth} "
-          f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "
-          f"alpha_max={alpha:.3f}", file=sys.stderr)
+    record["sorted_mode_fps"] = round(sorted_fps, 3)
+    _emit_record(record)
     print(f"# sorted-frame display mode: {sorted_fps:.3f} fps "
           f"(device skips the final unpermute; the display consumer "
           f"applies the index map — see Viewer.host_unpermute)",
@@ -285,6 +407,7 @@ def main():
         record["projected_v5e8_fps"] = round(proj, 1)
         record["projected_v5e8_sorted_fps"] = round(1000.0 / worst, 1)
         record["projection_method"] = "per-shard-timed"
+        _emit_record(record)
         print(f"# v5e-8 projected: {proj:.1f} fps 1080p "
               f"(8 shard timings ms: "
               f"{', '.join(f'{m:.2f}' for m in shard_ms)}; "
@@ -312,9 +435,39 @@ def main():
     except Exception as e:  # projection is best-effort reporting
         print(f"# v5e-8 projection unavailable: {e!r}", file=sys.stderr)
 
-    # the ONE driver-contract JSON line, printed last so the slice
-    # projection keys (when available) ride in the recorded line
-    print(json.dumps(record))
+    # ------------------------------------------------------------------
+    # v5e-8 MOTION projection (VERDICT r4 item 4): per-shard timing of
+    # the sharded re-hint motion pose (parallel/motion.py) at a MOVED
+    # camera — quarter count-march body + full segmented body, the
+    # quarter-key psum (~2 MB over ICI) and scalar overflow psum being
+    # the only collectives (excluded: stated residual).  Sorted-rows
+    # delivery mode (the motion loop's production display path).
+    # ------------------------------------------------------------------
+    try:
+        mshard_ms, mover, mtol = _time_v5e8_motion(
+            jax, jnp, tree, leaf_map, cam, opt, steps, nrec, skips,
+            skip_table, width, height)
+        mworst = max(mshard_ms)
+        record["projected_v5e8_motion_fps"] = round(1000.0 / mworst, 1)
+        record["motion_projection_method"] = (
+            "per-shard-timed (quarter+full motion bodies; quarter-key "
+            "psum excluded)")
+        _emit_record(record)
+        print(f"# v5e-8 projected MOTION: {1000.0 / mworst:.1f} fps "
+              f"(8 shard timings ms: "
+              f"{', '.join(f'{m:.2f}' for m in mshard_ms)}; worst "
+              f"{mworst:.2f}; overflow {mover} rays of "
+              f"{width * height} at the dealt margin-1 budgets, "
+              f"tolerance {mtol}; quarter-key psum ~"
+              f"{(width // 2) * (height // 2) * 4 / 1e6:.1f} MB/pose "
+              f"over ICI excluded — stated residual)", file=sys.stderr)
+    except Exception as e:  # motion projection is best-effort reporting
+        print(f"# v5e-8 motion projection unavailable: {e!r}",
+              file=sys.stderr)
+
+    _write_last_valid(record)
+    _emit_record(record)
+    return 0
 
 
 def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
@@ -323,6 +476,7 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
     """Time the 8 per-shard workloads of the sharded segmented frame on
     the local chip.  Returns ([ms] * n_shards, unpermute_share_ms)."""
     import functools
+    import numpy as np
     from mega_nerf_viewer_tpu.parallel.render import segmented_shard_body
     from mega_nerf_viewer_tpu.ops.accel import segment_chunks
 
@@ -366,23 +520,7 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
             segmented_shard_body, opt=opt,
             seg_counts=tuple(seg_counts), chunk_size=cs, width=width))
 
-    def time_reps(fn, rounds=3):
-        # median of 3 independent rounds: a single averaged round is
-        # poisoned by transient stalls (observed one shard read
-        # 22.5 ms vs its 9.9 ms median when the compile service or
-        # tunnel hiccuped mid-round)
-        out0 = fn()                       # warm
-        float(out0.sum())
-        vals = []
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            acc = jnp.float32(0.0)
-            for _ in range(n_reps):
-                acc = acc + fn().sum()
-            float(acc)                    # force the chain
-            vals.append((time.perf_counter() - t0) * 1000.0 / n_reps)
-        return sorted(vals)[rounds // 2]
-
+    time_reps = _make_time_reps(jnp, n_reps)
     shard_ms = [time_reps(lambda s=s: body(
         tree, leaf_map, s, transform, intr, rot_dirs, skip_table)[0])
         for s in shards]
@@ -401,5 +539,113 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
     return shard_ms, unperm_ms
 
 
+def _make_time_reps(jnp, n_reps=10):
+    def time_reps(fn, rounds=3):
+        # median of 3 independent rounds: a single averaged round is
+        # poisoned by transient stalls (observed one shard read
+        # 22.5 ms vs its 9.9 ms median when the compile service or
+        # tunnel hiccuped mid-round)
+        out0 = fn()                       # warm
+        float(out0.sum())
+        vals = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for _ in range(n_reps):
+                acc = acc + fn().sum()
+            float(acc)                    # force the chain
+            vals.append((time.perf_counter() - t0) * 1000.0 / n_reps)
+        return sorted(vals)[rounds // 2]
+    return time_reps
+
+
+def _time_v5e8_motion(jax, jnp, tree, leaf_map, cam, opt, steps, nrec,
+                      skips, skip_table, width, height,
+                      n_shards=8, cs=2176, hint_chunk=2176, n_reps=10):
+    """Time the 8 per-shard workloads of the sharded RE-HINT motion pose
+    (parallel/motion.py) on the local chip at a camera MOVED one
+    3-degree orbit step from the bench pose.  Each shard's pose cost is
+    its quarter count-march body plus its full segmented body (the true
+    psum-unioned quarter image is injected between them — exactly what
+    the psum delivers on a slice).  Returns ([ms] * n_shards,
+    total_overflow_rays, tolerance)."""
+    import copy
+    import functools
+    import numpy as np
+    from mega_nerf_viewer_tpu.ops import accel
+    from mega_nerf_viewer_tpu.parallel import motion as pmotion
+
+    R = width * height
+    qw, qh = width // 2, height // 2
+    ph = accel.pack_hints(jnp.asarray(steps), jnp.asarray(nrec),
+                          jnp.asarray(skips))
+    perm, _inv = accel.order_from_packed_device(ph)
+    qperm = accel.quarter_order_from_packed(ph, width=width)
+    cdf = np.asarray(accel.hint_class_cdf(jnp.asarray(nrec)))
+    segments = accel.segments_from_hint_cdf(cdf, R, margin=1,
+                                            top_headroom=False)
+    pix_str = pmotion._deal(perm, n_shards, cs)
+    qpix_str = pmotion._deal(qperm, n_shards, hint_chunk)
+    per = pix_str.shape[0] // n_shards
+    qper = qpix_str.shape[0] // n_shards
+    seg_counts = accel.segment_chunks(per // cs, tuple(segments))
+
+    cam2 = copy.deepcopy(cam)
+    cam2.begin_drag(0.0, 0.0, False, True)
+    cam2.drag_update(-np.deg2rad(3.0) * width / 2.0, 0.0)
+    cam2.end_drag()
+    transform = jnp.asarray(cam2.transform)
+    intr = jnp.asarray((cam2.fx, cam2.fy, cam2.cx, cam2.cy), jnp.float32)
+    rot_dirs = jnp.asarray(opt.rot_dirs, jnp.float32)
+
+    qbody = jax.jit(functools.partial(
+        pmotion._quarter_shard_body, opt=opt, hint_chunk=hint_chunk,
+        width=width, qw=qw, qh=qh))
+    qshards = [qpix_str[s * qper:(s + 1) * qper] for s in range(n_shards)]
+    fshards = [pix_str[s * per:(s + 1) * per] for s in range(n_shards)]
+    # union of the disjoint per-shard partial quarter images == the psum
+    qimg = functools.reduce(
+        jnp.add, [qbody(tree, leaf_map, q, transform, intr, rot_dirs,
+                        skip_table)[0] for q in qshards])
+
+    def make_fbody(sc):
+        return jax.jit(functools.partial(
+            pmotion._full_shard_body, opt=opt, seg_counts=sc,
+            chunk_size=cs, width=width, qw=qw, qh=qh))
+
+    # settle budgets at the moved pose under the async-policy overflow
+    # tolerance (a motion pose tolerates a small transient band; see
+    # Viewer.overflow_policy) — escalation mirrors the production
+    # budget re-derivation
+    fbody = make_fbody(seg_counts)
+    tol = max(1024, R // 512)
+    seg_counts = list(seg_counts)
+    while True:
+        ovtot = np.zeros(len(seg_counts), np.int64)
+        for s in range(n_shards):
+            _, ov, _, _ = fbody(tree, leaf_map, qimg, fshards[s],
+                                transform, intr, rot_dirs, skip_table)
+            ovtot += np.asarray(ov)
+        if int(ovtot.sum()) <= tol:
+            break
+        for i, c in enumerate(ovtot):
+            if c:
+                seg_counts[i] = (seg_counts[i][0],
+                                 max(1, seg_counts[i][1] * 2))
+                assert seg_counts[i][1] <= 128
+        fbody = make_fbody(tuple(seg_counts))
+
+    time_reps = _make_time_reps(jnp, n_reps)
+    q_ms = [time_reps(lambda q=q: qbody(
+        tree, leaf_map, q, transform, intr, rot_dirs, skip_table)[0])
+        for q in qshards]
+    f_ms = [time_reps(lambda s=s: fbody(
+        tree, leaf_map, qimg, fshards[s], transform, intr, rot_dirs,
+        skip_table)[0]) for s in range(n_shards)]
+    return ([a + b for a, b in zip(q_ms, f_ms)], int(ovtot.sum()), tol)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("_BENCH_CHILD"):
+        sys.exit(child_main())
+    sys.exit(supervise())
