@@ -19,6 +19,7 @@ The GL framebuffer is replaced by returned arrays; screenshots via
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
@@ -30,6 +31,8 @@ from .options import RenderOptions
 from .ops.render import render_frame, to_rgba8
 from .utils.metrics import FpsCounter, FrameTimer
 from .utils.png import write_png
+
+_log = logging.getLogger(__name__)
 
 
 def _fov_compose_impl(p, c, f, y0, x0, h, w):
@@ -240,6 +243,8 @@ class Viewer:
         self.foveation_center = 0.5       # center-window axis fraction
         self._fov_sub = None              # (periphery, center) viewers
         self._fov_key = None
+        self._fov_motion_gated = False    # logged-once guard, see render()
+        self._fov_subs_stale = False      # subs missed >=1 pose (gate)
         self._leaf_map = None
         # extra overlay meshes (triangles/lines/points, utils.mesh.Mesh)
         # composited like the reference GL mesh layer (mesh.cpp:135-166)
@@ -387,6 +392,30 @@ class Viewer:
                   and int(self.foveation) > 1
                   and not opt.render_depth
                   and not opt.show_grid and not self.meshes)
+        # Auto-gate foveation off for guided frames while the camera is
+        # MOVING: measured as a net cost (f=4 guided motion is 1.48x
+        # the cost of f=1 — per-sub fixed costs [order rebuild, budget
+        # episodes, collect/MLP dispatch] are paid twice per pose and
+        # dominate; PERFORMANCE.md round-4 guided-motion row).  Steady-
+        # camera guided foveation stays on: the sub-viewers' frame
+        # caches make it free.  The reference has no analogue (it drops
+        # to plain voxels during drag, cuda_renderer.cpp:107-139).
+        if (fov_ok and opt.use_guided_sampling and self.model is not None
+                and camera_changed and not cam.is_dragging()):
+            fov_ok = False
+            # the sub-viewers miss this pose change entirely; the next
+            # foveated frame must not serve their pre-motion caches
+            self._fov_subs_stale = True
+            if not self._fov_motion_gated:
+                self._fov_motion_gated = True
+                _log.info(
+                    "foveation auto-gated off under guided-sampling "
+                    "camera motion (measured net cost: per-sub fixed "
+                    "costs dominate moving guided poses — see "
+                    "PERFORMANCE.md); steady-camera guided foveation "
+                    "resumes when the camera settles")
+        elif not camera_changed:
+            self._fov_motion_gated = False
         if fov_ok:
             # approximate foveated frame (explicit opt-in); covers the
             # plain fast path AND guided sampling (each sub-viewer runs
@@ -822,12 +851,18 @@ class Viewer:
         # their own guided caches; consume the flag so steady foveated
         # frames keep reusing sub caches, and drop the parent's own
         # guided cache so a later non-foveated frame can't serve it
-        if not self._can_reuse_results:
+        # _fov_subs_stale: frames rendered through a NON-foveated path
+        # (the guided-motion gate) advanced the camera without the subs
+        # seeing it — their caches/orders describe the pre-motion pose
+        # even though the parent's _can_reuse_results is True again
+        subs_stale = self._fov_subs_stale
+        if not self._can_reuse_results or subs_stale:
             self._guided_cache = None
             for v in self._fov_sub:
                 v._can_reuse_results = False
                 v._guided_cache = None
             self._can_reuse_results = True
+            self._fov_subs_stale = False
         imgs = []
         for v, (fx, fy, cx, cy) in zip(self._fov_sub, intr):
             v.tree = self.tree
@@ -846,7 +881,7 @@ class Viewer:
             sc.v_back = cam.v_back.copy()
             sc.v_world_up = cam.v_world_up.copy()
             sc._update()
-            if camera_changed:
+            if camera_changed or subs_stale:
                 v._order_stale = True
                 v._can_reuse_results = False
             if guided_ok:

@@ -629,6 +629,66 @@ def test_foveated_guided_center_exact():
     assert np.array_equal(a, b)
 
 
+def test_foveation_gated_off_under_guided_motion():
+    """Guided sampling + foveation + a MOVING camera: measured as a net
+    cost (f=4 guided motion is 1.48x the cost of f=1 — per-sub fixed
+    costs paid twice per pose dominate; PERFORMANCE.md round-4 row), so
+    the Viewer auto-gates foveation off for moved guided poses: the
+    frame is the full-resolution exact guided frame.  When the camera
+    settles, foveation resumes AND the sub-viewers — which missed the
+    pose change entirely — must not serve their pre-motion caches."""
+    # capacity headroom: pressure-tracked frames disable foveation on
+    # their own (track_visit), which would mask the gate under test
+    tree = sphere_tree(basis_dim=1, depth=4, max_capacity=4096)
+    cen = np.array([-1.5, 0.2, 1.4], np.float32)
+    opts = RenderOptions(use_guided_sampling=True, max_guided_samples=8,
+                         split_batch_size=8)
+    model = MegaNeRFModel.synthetic(
+        data_dim=4, n_clusters=4, grid_dim=(2, 2),
+        min_position=(-2, -2, -2), max_position=(2, 2, 2))
+
+    def mk(fov):
+        v = Viewer(tree, camera=Camera(64, 48, 60.0), options=opts,
+                   max_tree_capacity=4096)
+        v.camera.center = cen.copy()
+        v.model = model
+        v.foveation = fov
+        return v
+
+    ref, v = mk(1), mk(2)
+    np.asarray(v.render())        # first pose counts as changed: gated
+    pre = np.asarray(v.render())              # steady: foveated route
+    assert v._fov_sub is not None
+    np.asarray(ref.render())
+    # move both cameras identically (a settled move, not a drag)
+    for w in (ref, v):
+        w.camera.move(np.array([0.15, 0.0, 0.0]))
+    moved_ref = np.asarray(ref.render())
+    moved = np.asarray(v.render())
+    # gated: the moved pose renders through the SAME non-foveated exact
+    # guided path as the f=1 viewer — identical full-res frame, and the
+    # subs are flagged stale
+    np.testing.assert_array_equal(moved, moved_ref)
+    assert v._fov_subs_stale
+    # settled: foveation resumes; the center window must match the
+    # POST-motion exact frame (stale pre-motion sub caches would not)
+    settled = np.asarray(v.render())
+    assert not v._fov_subs_stale
+    f, frac, W, H = 2, v.foveation_center, 64, 48
+    q = 2 * f
+    w1 = max(q, int(W * frac) // q * q)
+    h1 = max(q, int(H * frac) // q * q)
+    x0, y0 = (W - w1) // 2, (H - h1) // 2
+    np.testing.assert_allclose(settled[y0:y0 + h1, x0:x0 + w1],
+                               moved_ref[y0:y0 + h1, x0:x0 + w1],
+                               rtol=0, atol=1e-4)
+    assert not np.array_equal(settled[y0:y0 + h1, x0:x0 + w1],
+                              pre[y0:y0 + h1, x0:x0 + w1])
+    # parked after the settle: sub caches serve, frames identical
+    again = np.asarray(v.render())
+    np.testing.assert_array_equal(settled, again)
+
+
 def test_foveated_tree_swap_not_stale():
     """set(new_tree) with a PARKED camera must not serve stale foveated
     sub-frames (the sub-viewers cache per-tree results and hints)."""
