@@ -276,6 +276,11 @@ def child_main() -> int:
     # entry empty space, ~79% of all march steps on this fixture
     from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
     skip_table = build_skip_table(tree, opt.sigma_thresh)
+    # device-derived launch constants (utils.tuning — the reference's
+    # auto_cuda_threads analogue); 2176/64 on v5e
+    from mega_nerf_viewer_tpu.utils.tuning import device_tuning
+    tune = device_tuning()
+    cs, blk = tune.chunk_size, tune.block
     cam = Camera(width, height, 1111.0)
     cam.center = np.array([-1.4, 0.1, 1.3], np.float32)
     cam._update()
@@ -289,7 +294,7 @@ def child_main() -> int:
     while True:
         img, overflow, steps, nrec, skips = accel.render_frame_fast(
             tree, leaf_map, cam, opt, max_dense=max_dense,
-            chunk_size=2176, block=64, return_nrec=True,
+            chunk_size=cs, block=blk, return_nrec=True,
             skip_table=skip_table, return_skips=True)
         if not bool(overflow):
             break
@@ -302,7 +307,7 @@ def child_main() -> int:
     def frame():
         img, seg_overflow = accel.render_frame_fast_segmented(
             tree, leaf_map, cam, opt, order=order,
-            segments=tuple(segments), chunk_size=2176,
+            segments=tuple(segments), chunk_size=cs,
             skip_table=skip_table)
         return img, seg_overflow
 
@@ -369,7 +374,7 @@ def child_main() -> int:
     def frame_sorted():
         return accel.render_frame_fast_segmented(
             tree, leaf_map, cam, opt, order=order,
-            segments=tuple(segments), chunk_size=2176,
+            segments=tuple(segments), chunk_size=cs,
             skip_table=skip_table, sorted_output=True)
 
     sorted_fps = time_frames(frame_sorted)
@@ -397,7 +402,7 @@ def child_main() -> int:
     try:
         shard_ms, unperm_ms = _time_v5e8_shards(
             jax, jnp, tree, leaf_map, cam, opt, order, segments,
-            skip_table, width)
+            skip_table, width, cs=cs)
         worst = max(shard_ms)
         med = sorted(shard_ms)[len(shard_ms) // 2]
         proj = 1000.0 / (worst + unperm_ms)
@@ -446,7 +451,7 @@ def child_main() -> int:
     try:
         mshard_ms, mover, mtol = _time_v5e8_motion(
             jax, jnp, tree, leaf_map, cam, opt, steps, nrec, skips,
-            skip_table, width, height)
+            skip_table, width, height, cs=cs, hint_chunk=cs)
         mworst = max(mshard_ms)
         record["projected_v5e8_motion_fps"] = round(1000.0 / mworst, 1)
         record["motion_projection_method"] = (

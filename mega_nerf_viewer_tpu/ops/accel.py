@@ -182,7 +182,13 @@ def build_leaf_map(tree: N3Tree, level: Optional[int] = None) -> LeafMap:
             f"{tree.N}); use the exact renderer")
     max_d = tree_max_depth(tree)
     if level is None:
-        level = min(max_d, 9)
+        # device-derived cap (utils.tuning): the largest level whose
+        # [G^3, 2]-i32 rows fit the attached chip's HBM/8 — level 9
+        # (1.07 GiB) on a 16 GiB v5e, level 10 on a v5p.  The reference
+        # analogue is auto_cuda_threads reading device-0 properties
+        # (renderer_kernel.cu:14-28).
+        from ..utils.tuning import device_tuning
+        level = min(max_d, device_tuning().leaf_map_level_cap)
     deep = max(0, max_d - level)
     rows = _build_rows(tree, level, deep)
     return LeafMap(rows=rows, level=level, deep_levels=deep)

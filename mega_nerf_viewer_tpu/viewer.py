@@ -206,8 +206,11 @@ class Viewer:
         # (measured chunk-max/true-step waste 1.86x at 16k vs ~1.2x
         # here).  2176 (17 sublane tiles) measured fastest with the
         # level-6 prepass + 3-key sort; exactly 2048 hits a
-        # pathological XLA layout (~+30%% on v5e).
-        self.fast_chunk_size = 2176
+        # pathological XLA layout (~+30%% on v5e).  Derived from the
+        # attached device (utils.tuning, the auto_cuda_threads
+        # analogue) — resolves to 2176 on v5e/CPU.
+        from .utils.tuning import device_tuning
+        self.fast_chunk_size = device_tuning().chunk_size
         # Sorted-frame display delivery (off by default): the compiled
         # frame skips its final [R, 4] unpermute — a per-row gather at
         # its measured device floor (~10.8 ms at 1080p, PERFORMANCE.md

@@ -238,6 +238,34 @@ def make_big_scene_npz(path=BIG_CACHE, depth=9, basis_dim=4):
     return path, cap
 
 
+HUGE_CACHE = os.path.join(HERE, ".cache", "aerial_sh4_d11.npz")
+
+
+def make_huge_scene_npz(path=HUGE_CACHE, depth=11, basis_dim=4,
+                        max_chunks=3_200_000):
+    """Multi-million-chunk depth-11 svox artifact (VERDICT r4 item 3):
+    the same aerial occupancy field as :func:`make_big_scene_npz`
+    subdivided two levels deeper, growing ~4x chunks per level
+    (175k @ d9 -> ~2.8M @ d11).  Proves the scale regime the reference
+    defaults to (20M-chunk capacity, opts.cpp:24; Mill-19 trees are
+    depth 10-12): load, leaf-map level cap + ``deep_levels >= 2``
+    descent, memory fit, and fps are recorded in PERFORMANCE.md.
+    Deterministic; cached on disk (too large to commit)."""
+    from mega_nerf_viewer_tpu.n3tree.synthetic import field_tree_arrays
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data, child, parent, scale, offset, fmt, depths = field_tree_arrays(
+        big_occ_v, big_rgb_v, depth=depth, basis_dim=basis_dim,
+        sigma=120.0, max_chunks=max_chunks)
+    cap = data.shape[0]
+    parent_depth = np.stack([parent, depths], axis=1)
+    write_svox_npz(path, data, child.reshape(cap, 2, 2, 2), parent_depth,
+                   invradius=float(scale[0]), offset=offset,
+                   data_format=fmt.to_string())
+    print("wrote", path,
+          f"({cap} chunks, {os.path.getsize(path)} bytes)")
+    return path, cap
+
+
 def make_vq_npz():
     """VQ variant: RGB (SH1) payload quantized through a codebook."""
     data, child, parent, scale, offset, fmt = build_scene_tree(
