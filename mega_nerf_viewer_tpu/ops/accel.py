@@ -1076,17 +1076,103 @@ def segments_from_hint_cdf(cdf_counts, R: int,
             top = max(1, top * 2)
     if top_headroom and top < max_budget:
         top = max(1, top * 2)
+    # When the overflow top exceeds the ladder, classes[-1] stays a REAL
+    # boundary and only the remainder pays ``top``.  The old behavior
+    # merged the whole final ladder class into the raised top — on the
+    # aerial artifact (hint max 18) that rendered 38% of frame rays at
+    # budget 32 instead of 8, measured 370 vs 217 ms/frame; scenes whose
+    # max fits the ladder (the shell, max 8) are unchanged.
+    boundaries = classes if top > int(classes[-1]) else classes[:-1]
     segs = []
     used = 0.0
-    for i, (c, cnt) in enumerate(zip(classes[:-1], counts[:-1])):
+    for i, (c, cnt) in enumerate(zip(boundaries, counts[:len(boundaries)])):
         f = max(0.0, np.floor(cnt / R * quant) - margin) / quant
         f = min(f, 1.0 - 1.0 / quant)
         if f > used:
-            md = int(classes[i + 1]) if (headroom and c > 0) else int(c)
+            if headroom and c > 0:
+                md = min(top, int(classes[i + 1]) if i + 1 < len(classes)
+                         else int(c) * 2)
+            else:
+                md = int(c)
             segs.append((f - used, md))
             used = f
     segs.append((1.0 - used, top))
     return tuple(segs)
+
+
+# budget-value set for chunk-exact segment derivation: small enough to
+# bound the per-executable sub-program count (each distinct budget in a
+# segment tuple instantiates its own march+shading sub-program), dense
+# enough low down that quantization waste stays a fraction of a slot
+CHUNK_EXACT_BUDGETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32,
+                       48, 64, 96, 128)
+
+
+def seg_counts_from_hints(nrec_sorted, chunk_size: int,
+                          quantum: int = 1,
+                          budgets: tuple = CHUNK_EXACT_BUDGETS) -> tuple:
+    """Chunk-exact segment budgets from SORTED record hints.
+
+    The ladder derivation (:func:`segments_from_hint_cdf`) buys a
+    bounded jit-key family for interactive sessions at the price of
+    budget-slot waste: every ray in a class pays the class budget, and
+    the coarse ladder (0, 1, 2, 4, 8, ...) leaves the fat mid-bands of
+    record-heavy scenes 1.4-1.6x over-budgeted (measured 8.5 ns per
+    ray-slot on the aerial artifact — ~20 ms/frame of pure padding).
+    For a SETTLED order (parked camera, benchmarks, orbit captures)
+    the per-chunk record maxes are known exactly, so each run of
+    chunks can take the smallest covering budget instead:
+
+      * per-chunk budget = max(nrec) over its sorted rays, rounded UP
+        into ``budgets`` (monotone in sorted order by construction);
+      * adjacent equal-budget chunks merge into one segment;
+      * with ``quantum`` > 1 (sharded frames: quantum = n_shards) each
+        segment's chunk count rounds to a quantum multiple by moving
+        boundary chunks into the RICHER neighbor — budgets only ever
+        grow, so every ray still provably fits its segment.
+
+    Returns ``((n_chunks, budget), ...)`` — the ``seg_counts`` layout
+    consumed by ``_frame_core`` / ``segmented_shard_body``.  Budgets
+    cover this pose's hints exactly; callers keep the standard
+    overflow-escalation protocol for drift.
+    """
+    nh = np.asarray(nrec_sorted)
+    R = nh.size
+    pad = (-R) % (chunk_size * max(quantum, 1))
+    if pad:
+        nh = np.concatenate([nh, np.full(pad, nh[-1], nh.dtype)])
+    cmax = nh.reshape(-1, chunk_size).max(1)
+    bu = np.asarray(budgets)
+    if cmax.max() > bu[-1]:
+        raise ValueError(f"hint max {cmax.max()} exceeds budget cap "
+                         f"{bu[-1]}")
+    q = bu[np.searchsorted(bu, cmax, side="left")]
+    q = np.maximum.accumulate(q)          # monotone under any tie noise
+    # run-length encode
+    runs = []
+    for b in q:
+        if runs and runs[-1][1] == int(b):
+            runs[-1][0] += 1
+        else:
+            runs.append([1, int(b)])
+    if quantum > 1:
+        # move remainder chunks into the next (richer) run; the final
+        # run's count is a quantum multiple by construction (total is)
+        for i in range(len(runs) - 1):
+            rem = runs[i][0] % quantum
+            if rem:
+                runs[i][0] -= rem
+                runs[i + 1][0] += rem
+        runs = [r for r in runs if r[0] > 0]
+        # merging may have created equal-budget neighbors
+        merged = []
+        for n, b in runs:
+            if merged and merged[-1][1] == b:
+                merged[-1][0] += n
+            else:
+                merged.append([n, b])
+        runs = merged
+    return tuple((n, b) for n, b in runs)
 
 
 @jax.jit
@@ -1361,7 +1447,8 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
                                 group: int = 1,
                                 device_fallback: bool = False,
                                 return_hints: bool = False,
-                                sorted_output: bool = False):
+                                sorted_output: bool = False,
+                                seg_counts: Optional[tuple] = None):
     """Record-sorted segmented fast frame.
 
     ``order`` must come from :func:`order_from_hints` (rays sorted by
@@ -1418,6 +1505,32 @@ def render_frame_fast_segmented(tree: N3Tree, leaf_map: LeafMap,
     R = w * h
     perm, inv = order
     n_chunks = (R + chunk_size - 1) // chunk_size
+    if seg_counts is not None:
+        # chunk-exact budgets (seg_counts_from_hints): the caller
+        # resolved whole-chunk counts directly; ``segments`` is ignored.
+        assert sum(n for n, _ in seg_counts) == n_chunks, \
+            (seg_counts, n_chunks)
+        transform, intr, rot_dirs, bg_value, dyn, opt = _frame_core_args(
+            camera, opt, dynamic_knobs)
+        res = _frame_core(
+            tree, leaf_map, perm, inv, transform, intr, rot_dirs,
+            bg_value, dyn, skip_table, opt=opt, width=w,
+            seg_counts=tuple(seg_counts),
+            chunk_size=chunk_size, unroll=unroll, need_votes=need_votes,
+            return_hints=return_hints, group=group,
+            device_fallback=device_fallback, sorted_output=sorted_output)
+        img = (res["img"] if sorted_output
+               else res["img"].reshape(h, w, 4))
+        out = (img, res["seg_overflow"])
+        if need_votes:
+            out = out + (res["split_vote"], res["sample_vote"])
+        if device_fallback:
+            out = out + (res["fb_overflow"],)
+        if return_hints == "packed":
+            out = out + (res["hints_packed"],)
+        elif return_hints:
+            out = out + (res["steps"], res["nrec"], res["skips"])
+        return out
     if n_chunks < len(segments):
         # small-frame degenerate path: fewer chunks than segment
         # classes.  Under device_fallback the always-correct contract

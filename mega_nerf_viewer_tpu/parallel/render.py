@@ -162,6 +162,58 @@ def render_frame_fast_sharded(tree: N3Tree, leaf_map, camera,
     return img.reshape(h, w, 4), res.overflow
 
 
+def deal_chunks_balanced(chunk_costs, seg_counts, n_shards: int):
+    """Cost-balanced chunk->shard assignment, stratified by budget class.
+
+    The stride deal (shard s takes sorted chunks s, s+n, ...) balances
+    only in expectation; on the aerial artifact its worst shard ran 23%
+    over the mean (measured per-shard sums of chunk-max march steps:
+    1125 vs mean 913 — the per-shard fps projection is the WORST chip).
+    Greedy LPT within each budget stratum with equal per-shard chunk
+    counts measures imbalance 1.009 on the same frame.
+
+    ``chunk_costs``: host array [n_chunks] of per-chunk cost estimates
+    (sum or max of the sorted step hints per chunk).  ``seg_counts``:
+    ((n_chunks, budget), ...) strata; every count must be a multiple of
+    ``n_shards`` (use seg_counts_from_hints(quantum=n_shards)).
+
+    Returns (slot_of_chunk i32 [n_chunks], per_shard_seg_counts): chunk
+    g lands at flat slot ``slot_of_chunk[g]`` = shard * per_shard_chunks
+    + within-shard position; within a shard, chunks keep ascending
+    global order so the per-shard segment layout is the same
+    ``(n / n_shards, budget)`` tuple on every shard.
+    """
+    costs = np.asarray(chunk_costs, np.float64)
+    n_chunks = costs.shape[0]
+    assert sum(n for n, _ in seg_counts) == n_chunks, \
+        (seg_counts, n_chunks)
+    per_shard_chunks = n_chunks // n_shards
+    shard_of = np.empty(n_chunks, np.int64)
+    load = np.zeros(n_shards)
+    start = 0
+    for n, _md in seg_counts:
+        assert n % n_shards == 0, (n, n_shards)
+        idx = np.arange(start, start + n)
+        cap = np.full(n_shards, n // n_shards)
+        # LPT: heaviest chunk first onto the lightest shard with
+        # remaining capacity in this stratum
+        for g in idx[np.argsort(-costs[idx], kind="stable")]:
+            cands = np.flatnonzero(cap > 0)
+            s = cands[np.argmin(load[cands])]
+            shard_of[g] = s
+            load[s] += costs[g]
+            cap[s] -= 1
+        start += n
+    # within-shard position = rank of the chunk's global index among
+    # its shard's chunks (stable ascending order keeps strata aligned)
+    slot_of_chunk = np.empty(n_chunks, np.int32)
+    for s in range(n_shards):
+        mine = np.flatnonzero(shard_of == s)
+        slot_of_chunk[mine] = s * per_shard_chunks + np.arange(len(mine))
+    per_shard = tuple((n // n_shards, md) for n, md in seg_counts)
+    return slot_of_chunk, per_shard
+
+
 def segmented_shard_body(tree, lm, pix, transform, intr, rot_dirs, skip,
                          *, opt: RenderOptions, seg_counts,
                          chunk_size: int, width: int,
@@ -246,7 +298,9 @@ def render_frame_fast_segmented_sharded(
         tree: N3Tree, leaf_map, camera, opt: RenderOptions,
         order, segments, mesh: Optional[Mesh] = None,
         chunk_size: int = 1920, skip_table: Optional[jax.Array] = None,
-        sorted_output: bool = False):
+        sorted_output: bool = False,
+        seg_counts: Optional[tuple] = None,
+        chunk_costs=None):
     """Record-sorted segmented fast frame, rays sharded over the mesh.
 
     Rays are DEALT to shards at CHUNK granularity: the sorted order is
@@ -275,6 +329,16 @@ def render_frame_fast_segmented_sharded(
     removes the ICI output collective from the per-frame critical
     path entirely.
 
+    ``seg_counts`` (with ``chunk_costs``) switches the deal and the
+    budget layout to the chunk-exact scheme: ``seg_counts`` is a GLOBAL
+    ((n_chunks, budget), ...) tuple whose counts are multiples of the
+    shard count (ops.accel.seg_counts_from_hints, quantum = n_shards)
+    and ``chunk_costs`` a host [n_chunks] cost estimate per sorted
+    chunk; chunks are then dealt by stratified-LPT
+    (:func:`deal_chunks_balanced`) instead of the stride.  Pixels stay
+    bit-identical (the deal is a pure partition; budgets only ever
+    cover more than the ladder classes would).
+
     Returns (img [H, W, 4], seg_overflow i32 [n_segments]) — or, when
     ``sorted_output``, (rows [R_padded, 4] in shard-dealt order,
     seg_overflow, index_map i32 [R]).
@@ -294,13 +358,25 @@ def render_frame_fast_segmented_sharded(
         [perm, jnp.broadcast_to(perm[-1:], (pad,))])
     Rp = R + pad
     per = Rp // n
-    # chunk-granular deal: shard s gets sorted chunks s, s+n, s+2n, ...
-    pix_str = pix.reshape(-1, n, cs).transpose(1, 0, 2).reshape(-1)
-    # a pixel at sorted rank r lands at flat position
-    # ((r // cs) % n) * per + (r // (n * cs)) * cs + r % cs
-    inv_str = ((inv // cs) % n) * per + (inv // (n * cs)) * cs \
-        + inv % cs
-    seg_counts = segment_chunks(per // chunk_size, tuple(segments))
+    if seg_counts is not None:
+        assert chunk_costs is not None, \
+            "chunk-exact sharded frame needs chunk_costs for the deal"
+        slot_of_chunk, per_shard_counts = deal_chunks_balanced(
+            chunk_costs, tuple(seg_counts), n)
+        chunk_at_slot = np.argsort(slot_of_chunk)
+        pix_str = pix.reshape(-1, cs)[jnp.asarray(chunk_at_slot)] \
+            .reshape(-1)
+        slot_tab = jnp.asarray(slot_of_chunk)
+        inv_str = slot_tab[inv // cs] * cs + inv % cs
+        seg_counts = per_shard_counts
+    else:
+        # stride deal: shard s gets sorted chunks s, s+n, s+2n, ...
+        pix_str = pix.reshape(-1, n, cs).transpose(1, 0, 2).reshape(-1)
+        # a pixel at sorted rank r lands at flat position
+        # ((r // cs) % n) * per + (r // (n * cs)) * cs + r % cs
+        inv_str = ((inv // cs) % n) * per + (inv // (n * cs)) * cs \
+            + inv % cs
+        seg_counts = segment_chunks(per // chunk_size, tuple(segments))
     run = _fast_segmented_sharded_program(
         mesh, opt, seg_counts, chunk_size, w,
         jax.tree_util.tree_structure(tree),

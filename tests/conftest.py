@@ -44,6 +44,25 @@ def pytest_collection_modifyitems(session, config, items):
             item.add_marker(mark)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    XLA:CPU SIGSEGVs inside ``backend_compile_and_load`` late in a
+    long-lived many-compile process (round 4: four crashes at ~86% of
+    the full run on the web render thread; round 5: deterministic at
+    test_viewer_mode_matrix_under_motion — both >500 compiles into the
+    session, both fine standalone).  Dropping the Python-side executable
+    caches at module boundaries releases the backend resources the
+    session otherwise accumulates; modules rarely share jit keys, so
+    the lost cache hits are minimal.
+    """
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)

@@ -567,6 +567,42 @@ def test_dilate_hints_and_cdf_segments():
     assert segs[-1][1] == 8
 
 
+def test_cdf_segments_heavy_tail_keeps_ladder_boundary():
+    """When the observed hint max exceeds the ladder top, classes[-1]
+    must stay a REAL boundary and only the remainder pays the raised
+    top budget.  The old merge rendered the whole final ladder class at
+    the raised top — on the aerial artifact (hint max 18) that was 38%
+    of frame rays at budget 32 instead of 8 (370 vs 217 ms measured)."""
+    R = 2073600
+    # counts for classes (0,1,2,4,8) + trailing max, the measured
+    # aerial_sh4_d9 histogram
+    cdf = np.array([1199592, 1202712, 1204868, 1407083, 1986254, 18])
+    segs = accel.segments_from_hint_cdf(cdf, R)
+    assert abs(sum(f for f, _ in segs) - 1.0) < 1e-9
+    # the 8-budget class must exist and cover the <=8 band
+    by_md = dict((md, f) for f, md in segs)
+    assert 8 in by_md and by_md[8] >= 0.25
+    # only the small overflow remainder pays the raised top
+    assert segs[-1][1] == 32 and segs[-1][0] <= 0.0625 + 1e-9
+    # every boundary still sits at or below its class CDF
+    used = 0.0
+    classes = (0, 1, 2, 4, 8)
+    for (f, md) in segs[:-1]:
+        used += f
+        assert used * R <= cdf[classes.index(md)] + 1e-9
+    # scenes whose max fits the ladder are unchanged (top == classes[-1])
+    cdf_light = np.array([1000, 1100, 1200, 1500, 2000, 8])
+    segs_light = accel.segments_from_hint_cdf(cdf_light, 2000)
+    assert segs_light[-1][1] == 8
+    assert all(md in classes for _, md in segs_light)
+    # headroom: the final REAL boundary class steps one ladder up,
+    # capped at the raised top
+    segs_h = accel.segments_from_hint_cdf(cdf, R, headroom=True)
+    mds = [md for _, md in segs_h]
+    assert mds[-1] == 32
+    assert 16 in mds  # the <=8 class at one ladder step of headroom
+
+
 def test_dilate_directional_windows():
     """A (wy, wx) window tuple dilates each image axis by its own
     reach (window-1 per direction, doubling roll-max): the anisotropic
