@@ -233,40 +233,29 @@ def _write_last_valid(record: dict):
               file=sys.stderr)
 
 
-def child_main() -> int:
-    import numpy as np
-    import jax
-    if os.environ.get("BENCH_FORCE_CPU"):
-        # dev smoke only (pair with BENCH_WH): exercises the full bench
-        # flow on CPU — numbers are NOT reportable.  The env var route
-        # is needed because the axon TPU plugin ignores JAX_PLATFORMS.
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+def _measure_source(jax, jnp, np, source, record: dict, prefix: str,
+                    width: int, height: int, smoke: bool) -> None:
+    """Measure ONE octree source (npz path = real-artifact mode with
+    chunk-exact budgets + LPT shard dealing; int = synthetic shell
+    depth) and write its figures into ``record`` under ``prefix``
+    (prefixed runs use ``<prefix>fps`` instead of ``value``), streaming
+    incremental ##RECORD## updates as each stage lands."""
     from mega_nerf_viewer_tpu.camera import Camera
     from mega_nerf_viewer_tpu.options import RenderOptions
     from mega_nerf_viewer_tpu.n3tree import shell_tree
     from mega_nerf_viewer_tpu.ops import accel
 
-    width, height = 1920, 1080
-    wh = os.environ.get("BENCH_WH")
-    if wh:
-        # smoke-test override (e.g. BENCH_WH=256x144 on CPU): exercises
-        # the full bench flow at a size a dev box finishes in seconds —
-        # NOT a reportable configuration
-        width, height = (int(x) for x in wh.split("x"))
-    smoke = bool(os.environ.get("BENCH_FORCE_CPU") or wh)
-
     t0 = time.time()
-    real_artifact = len(sys.argv) > 1 and sys.argv[1].endswith(".npz")
+    real_artifact = isinstance(source, str)
     if real_artifact:
         # real-artifact mode: benchmark any svox-schema PlenOctree file
         # (e.g. the Mill-19-scale aerial fixture,
         # tests/fixtures/.cache/aerial_sh4_d9.npz)
         from mega_nerf_viewer_tpu.n3tree import N3Tree
-        tree = N3Tree.open(sys.argv[1])
+        tree = N3Tree.open(source)
         depth = accel.tree_max_depth(tree)
     else:
-        depth = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        depth = int(source)
         tree = shell_tree(depth=depth, basis_dim=9, sigma_inside=400.0)
     build_s = time.time() - t0
     leaf_map = accel.build_leaf_map(tree)
@@ -356,33 +345,44 @@ def child_main() -> int:
     # it with the next frame's dispatch).
     n_frames = 10
 
-    def time_frames(frame_fn):
+    def time_frames(frame_fn, rounds=3):
         """fps of ``frame_fn`` over n_frames, device-chained checksum,
         one scalar fetch; warms (compile + absorb the first post-
-        compile execution, which can read ~4x slow on the tunnel)."""
+        compile execution, which can read ~4x slow on the tunnel).
+        Median of ``rounds`` independent rounds: the dev tunnel's
+        transient stalls poison single rounds by ±10% (observed), and
+        the recorded figure should reflect the code, not the tunnel."""
         img, _ = frame_fn()
         float(jnp.float32(0.0) + img.sum())
-        t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        for _ in range(n_frames):
-            img, _ = frame_fn()
-            acc = acc + img.sum()
-        float(acc)                        # force the chain
-        return n_frames / (time.perf_counter() - t0)
+        vals = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for _ in range(n_frames):
+                img, _ = frame_fn()
+                acc = acc + img.sum()
+            float(acc)                    # force the chain
+            vals.append(n_frames / (time.perf_counter() - t0))
+        return sorted(vals)[rounds // 2]
 
     fps = time_frames(frame)
     rays_per_sec = fps * width * height
 
-    record = {
-        "metric": "frames_per_sec_1080p",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
-    }
-    if smoke:
-        record["smoke"] = True      # env-overridden run: NOT reportable
+    if not prefix:
+        record.update({
+            "metric": "frames_per_sec_1080p",
+            "value": round(fps, 3),
+            "unit": "fps",
+            "vs_baseline": round(fps / 30.0, 3),
+        })
+        if smoke:
+            record["smoke"] = True  # env-overridden run: NOT reportable
+    else:
+        record[prefix + "fps"] = round(fps, 3)
+        record[prefix + "vs_baseline"] = round(fps / 30.0, 3)
     _emit_record(record)            # primary measurement: secured NOW
-    print(f"# device={jax.devices()[0].device_kind} "
+    print(f"# [{prefix or 'primary'}] device="
+          f"{jax.devices()[0].device_kind} "
           f"chunks={int(tree.capacity)} depth={depth} "
           f"build={build_s:.1f}s rays/s={rays_per_sec:.3e} "
           f"alpha_max={alpha:.3f}", file=sys.stderr)
@@ -406,7 +406,7 @@ def child_main() -> int:
             skip_table=skip_table, sorted_output=True)
 
     sorted_fps = time_frames(frame_sorted)
-    record["sorted_mode_fps"] = round(sorted_fps, 3)
+    record[prefix + "sorted_mode_fps"] = round(sorted_fps, 3)
     _emit_record(record)
     print(f"# sorted-frame display mode: {sorted_fps:.3f} fps "
           f"(device skips the final unpermute; the display consumer "
@@ -438,8 +438,9 @@ def child_main() -> int:
         # the BASELINE >= 30 fps target is defined on a v5e-8 slice;
         # carry the slice projection (and its method tag) in the one
         # driver-recorded line, not only on stderr
-        record["projected_v5e8_fps"] = round(proj, 1)
-        record["projected_v5e8_sorted_fps"] = round(1000.0 / worst, 1)
+        record[prefix + "projected_v5e8_fps"] = round(proj, 1)
+        record[prefix + "projected_v5e8_sorted_fps"] = round(
+            1000.0 / worst, 1)
         record["projection_method"] = "per-shard-timed"
         _emit_record(record)
         print(f"# v5e-8 projected: {proj:.1f} fps 1080p "
@@ -482,7 +483,8 @@ def child_main() -> int:
             jax, jnp, tree, leaf_map, cam, opt, steps, nrec, skips,
             skip_table, width, height, cs=cs, hint_chunk=cs)
         mworst = max(mshard_ms)
-        record["projected_v5e8_motion_fps"] = round(1000.0 / mworst, 1)
+        record[prefix + "projected_v5e8_motion_fps"] = round(
+            1000.0 / mworst, 1)
         record["motion_projection_method"] = (
             "per-shard-timed (quarter+full motion bodies; quarter-key "
             "psum excluded)")
@@ -498,6 +500,56 @@ def child_main() -> int:
     except Exception as e:  # motion projection is best-effort reporting
         print(f"# v5e-8 motion projection unavailable: {e!r}",
               file=sys.stderr)
+
+
+AERIAL_FIXTURE = os.path.join(
+    _REPO, "tests", "fixtures", ".cache", "aerial_sh4_d9.npz")
+
+
+def child_main() -> int:
+    import numpy as np
+    import jax
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # dev smoke only (pair with BENCH_WH): exercises the full bench
+        # flow on CPU — numbers are NOT reportable.  The env var route
+        # is needed because the axon TPU plugin ignores JAX_PLATFORMS.
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    width, height = 1920, 1080
+    wh = os.environ.get("BENCH_WH")
+    if wh:
+        # smoke-test override (e.g. BENCH_WH=256x144 on CPU): exercises
+        # the full bench flow at a size a dev box finishes in seconds —
+        # NOT a reportable configuration
+        width, height = (int(x) for x in wh.split("x"))
+    smoke = bool(os.environ.get("BENCH_FORCE_CPU") or wh)
+
+    source = sys.argv[1] if len(sys.argv) > 1 else 8
+    if isinstance(source, str) and not source.endswith(".npz"):
+        source = int(source)
+    record: dict = {}
+    _measure_source(jax, jnp, np, source, record, "",
+                    width, height, smoke)
+
+    # Official-artifact rider: the driver invokes bench.py with NO args
+    # (synthetic-shell headline), but the BASELINE >= 30 fps target is
+    # defined on Mill-19-shaped octrees — the deep, record-heavy class
+    # the cached aerial fixture reproduces (175k chunks, depth 9, real
+    # svox schema).  When that fixture exists, measure it too so the
+    # driver-captured record carries the target-defining figures
+    # (aerial_fps / aerial_sorted_mode_fps / aerial_projected_v5e8_*),
+    # not only the shell's.  Best-effort: a failure here never costs
+    # the already-emitted shell record.
+    aerial = os.environ.get("BENCH_AERIAL_FIXTURE", AERIAL_FIXTURE)
+    if (len(sys.argv) <= 1 and os.path.exists(aerial)
+            and (not smoke or "BENCH_AERIAL_FIXTURE" in os.environ)):
+        try:
+            _measure_source(jax, jnp, np, aerial, record,
+                            "aerial_", width, height, smoke)
+        except Exception as e:
+            print(f"# aerial-artifact rider unavailable: {e!r}",
+                  file=sys.stderr)
 
     _write_last_valid(record)
     _emit_record(record)
@@ -600,11 +652,13 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
 
 
 def _make_time_reps(jnp, n_reps=10):
-    def time_reps(fn, rounds=3):
-        # median of 3 independent rounds: a single averaged round is
+    def time_reps(fn, rounds=5):
+        # median of 5 independent rounds: a single averaged round is
         # poisoned by transient stalls (observed one shard read
         # 22.5 ms vs its 9.9 ms median when the compile service or
-        # tunnel hiccuped mid-round)
+        # tunnel hiccuped mid-round) — and the projection takes the
+        # MAX over 8 shard medians, so upward noise on any one shard
+        # directly degrades the recorded slice figure
         out0 = fn()                       # warm
         float(out0.sum())
         vals = []
