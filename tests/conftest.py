@@ -41,6 +41,7 @@ SLOW_TESTS = {
     "test_accel.py::test_segmented_frame_bit_equals_unsegmented",
     "test_accel.py::test_sorted_output_matches_unpermuted",
     "test_bench_contract.py::test_completed_smoke_run_has_record_and_projections",
+    "test_bench_contract.py::test_noarg_run_rides_aerial_artifact",
     "test_golden.py::test_big_aerial_fixture_golden",
     "test_golden.py::test_big_aerial_fixture_golden_512",
     "test_golden.py::test_torchscript_container_golden",
