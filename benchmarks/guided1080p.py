@@ -7,7 +7,10 @@ Measures the two phases the reference exposes (cuda_renderer.cpp:107-139):
     the cached samples (XLA and Pallas kernels).
 
 Uses a synthetic Mega-NeRF-shaped model (256-wide MLP per cluster).
-Usage: python benchmarks/guided1080p.py [max_guided_samples]
+Usage: python benchmarks/guided1080p.py [max_guided_samples] [tree.npz]
+(the optional npz runs the guided pipeline on a REAL artifact — e.g.
+the Mill-19-shaped aerial fixture — instead of the synthetic shell;
+the synthetic model then matches the artifact's data_dim).
 """
 
 import json
@@ -30,15 +33,20 @@ def main():
     from mega_nerf_viewer_tpu.ops import accel, guided
 
     S = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    tree_path = sys.argv[2] if len(sys.argv) > 2 else None
     import _overrides
     width, height, depth, smoke = _overrides.apply(1920, 1080, 8)
     cs = min(1920, width)
-    tree = shell_tree(depth=depth, basis_dim=1, sigma_inside=400.0)
+    if tree_path:
+        from mega_nerf_viewer_tpu.n3tree import N3Tree
+        tree = N3Tree.open(tree_path)
+    else:
+        tree = shell_tree(depth=depth, basis_dim=1, sigma_inside=400.0)
     lm = accel.build_leaf_map(tree)
     from mega_nerf_viewer_tpu.ops.pallas_march import build_skip_table
     model = MegaNeRFModel.synthetic(
-        data_dim=4, n_clusters=8, hidden=256, n_layers=8,
-        grid_dim=(2, 4), min_position=(-1.5, -1.5, -1.5),
+        data_dim=int(tree.data_dim), n_clusters=8, hidden=256,
+        n_layers=8, grid_dim=(2, 4), min_position=(-1.5, -1.5, -1.5),
         max_position=(1.5, 1.5, 1.5), need_viewdir=True)
     opt = RenderOptions(max_guided_samples=S, need_viewdir=True,
                         use_guided_sampling=True)
@@ -138,6 +146,9 @@ def main():
         **results,
         "max_guided_samples": S,
     }
+    if tree_path:
+        record["tree"] = os.path.basename(tree_path)
+        record["chunks"] = int(tree.capacity)
     if smoke:
         record["smoke"] = True      # env-overridden run: NOT reportable
     print(json.dumps(record))

@@ -47,7 +47,13 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         # this package (conftest, _overrides, user scripts) — honor
         # that too, or CPU runs silently re-enable the AOT-cache
         # SIGILL/SIGSEGV path the env-var check exists to close.
-        if "cpu" in (getattr(_jax.config, "jax_platforms", None) or ""):
+        # CPU-forced means cpu is the PRIMARY (first) platform: the
+        # environment reports "axon,cpu" on normal TPU runs (cpu as
+        # fallback), and a substring test disabled the TPU cache on
+        # every run — cold remote compiles each process (found as
+        # 20+ min bench startups, 2026-08-20).
+        _plats = (getattr(_jax.config, "jax_platforms", None) or "")
+        if _plats.split(",")[0].strip() == "cpu":
             raise ImportError("cpu platform forced via jax.config")
         _cache = _os.path.join(
             _os.path.expanduser("~"), ".cache", "mega_nerf_viewer_tpu",
