@@ -295,7 +295,10 @@ def _measure_source(jax, jnp, np, source, record: dict, prefix: str,
         if not bool(overflow):
             break
         max_dense *= 2
-        assert max_dense <= 128, "pathological dense-sample count"
+        # 512, not the 128 chunk-exact budget cap: rays recording
+        # beyond 128 dense samples fall back to ladder segments
+        # (below), whose escalation must be able to cover them
+        assert max_dense <= 512, "pathological dense-sample count"
     alpha = float(np.asarray(img)[..., 3].max())
     order = accel.order_from_hints(steps, nrec, skips)
     segments = list(accel.DEFAULT_SEGMENTS)
@@ -347,7 +350,7 @@ def _measure_source(jax, jnp, np, source, record: dict, prefix: str,
         for i, hit in enumerate(ov):
             if hit:
                 esc[i] = (esc[i][0], max(1, esc[i][1] * 2))
-                assert esc[i][1] <= 128
+                assert esc[i][1] <= 512
 
     # Timing: dispatch n frames back-to-back, chaining each frame's
     # checksum into a device-side accumulator, and force the chain with
@@ -445,7 +448,8 @@ def _measure_source(jax, jnp, np, source, record: dict, prefix: str,
         shard_ms, unperm_ms = _time_v5e8_shards(
             jax, jnp, tree, leaf_map, cam, opt, order, segments,
             skip_table, width, cs=cs,
-            sorted_hints=(nrec_s, steps_s) if real_artifact else None)
+            sorted_hints=(nrec_s, steps_s)
+            if real_artifact and seg_counts1 is not None else None)
         worst = max(shard_ms)
         med = sorted(shard_ms)[len(shard_ms) // 2]
         proj = 1000.0 / (worst + unperm_ms)
@@ -455,7 +459,7 @@ def _measure_source(jax, jnp, np, source, record: dict, prefix: str,
         record[prefix + "projected_v5e8_fps"] = round(proj, 1)
         record[prefix + "projected_v5e8_sorted_fps"] = round(
             1000.0 / worst, 1)
-        record["projection_method"] = "per-shard-timed"
+        record[prefix + "projection_method"] = "per-shard-timed"
         _emit_record(record)
         print(f"# v5e-8 projected: {proj:.1f} fps 1080p "
               f"(8 shard timings ms: "
@@ -499,7 +503,7 @@ def _measure_source(jax, jnp, np, source, record: dict, prefix: str,
         mworst = max(mshard_ms)
         record[prefix + "projected_v5e8_motion_fps"] = round(
             1000.0 / mworst, 1)
-        record["motion_projection_method"] = (
+        record[prefix + "motion_projection_method"] = (
             "per-shard-timed (quarter+full motion bodies; quarter-key "
             "psum excluded)")
         _emit_record(record)
@@ -641,7 +645,7 @@ def _time_v5e8_shards(jax, jnp, tree, leaf_map, cam, opt, order,
             if hit:
                 seg_counts[i] = (seg_counts[i][0],
                                  max(1, seg_counts[i][1] * 2))
-                assert seg_counts[i][1] <= 128
+                assert seg_counts[i][1] <= 512
         body = jax.jit(functools.partial(
             segmented_shard_body, opt=opt,
             seg_counts=tuple(seg_counts), chunk_size=cs, width=width))
@@ -760,7 +764,7 @@ def _time_v5e8_motion(jax, jnp, tree, leaf_map, cam, opt, steps, nrec,
             if c:
                 seg_counts[i] = (seg_counts[i][0],
                                  max(1, seg_counts[i][1] * 2))
-                assert seg_counts[i][1] <= 128
+                assert seg_counts[i][1] <= 512
         fbody = make_fbody(tuple(seg_counts))
 
     time_reps = _make_time_reps(jnp, n_reps)

@@ -39,7 +39,8 @@ import os as _os
 # mis-loaded executable corrupting memory.  CPU compiles are local
 # and fast; only the TPU remote-compile service needs the cache.
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
-        and "cpu" not in _os.environ.get("JAX_PLATFORMS", ""):
+        and _os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() \
+        != "cpu":
     try:
         import jax as _jax
         # The axon plugin ignores JAX_PLATFORMS; CPU is forced via
@@ -53,8 +54,22 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         # every run — cold remote compiles each process (found as
         # 20+ min bench startups, 2026-08-20).
         _plats = (getattr(_jax.config, "jax_platforms", None) or "")
-        if _plats.split(",")[0].strip() == "cpu":
+        _primary = _plats.split(",")[0].strip()
+        if _primary == "cpu":
             raise ImportError("cpu platform forced via jax.config")
+        if _primary and _primary != "tpu":
+            # Out-of-tree PJRT plugin (e.g. "axon"): only trust the
+            # cache when the plugin module is importable.  If it has
+            # vanished (PYTHONPATH lost the plugin site dir — a
+            # documented failure mode), jax falls back to the cpu
+            # backend at init and a cache left enabled would write/
+            # load CPU AOT entries — the SIGILL/SIGSEGV hazard this
+            # gate exists to close.
+            import importlib.util as _ilu
+            if _ilu.find_spec(_primary) is None:
+                raise ImportError(
+                    f"{_primary} plugin not importable; cpu fallback "
+                    "likely")
         _cache = _os.path.join(
             _os.path.expanduser("~"), ".cache", "mega_nerf_viewer_tpu",
             "jit")
