@@ -50,8 +50,18 @@ def test_sigterm_midrun_emits_json_line():
     produce the one JSON line — the exact failure of BENCH_r04."""
     p = subprocess.Popen(
         [sys.executable, BENCH, "4"], env=SMOKE_ENV, cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
-    time.sleep(3.0)                 # mid-run: child is compiling/measuring
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    # Wait for the parent's readiness sentinel (handlers installed,
+    # child spawned) before signalling: interpreter startup measures
+    # ~3-4 s of site init on the bench box, and a SIGTERM landing
+    # during it default-kills the process before the contract exists —
+    # a fixed sleep raced exactly that window.
+    deadline = time.time() + 60
+    for line in p.stderr:
+        if b"# bench: supervising child" in line:
+            break
+        assert time.time() < deadline, "no readiness sentinel within 60s"
+    time.sleep(1.0)                 # mid-run: child is compiling/measuring
     p.send_signal(signal.SIGTERM)
     out, _ = p.communicate(timeout=30)
     rec = _one_json_line(out.decode())
