@@ -742,7 +742,8 @@ def _make_time_reps(jnp, n_reps=10):
 
 def _time_v5e8_motion(jax, jnp, tree, leaf_map, cam, opt, steps, nrec,
                       skips, skip_table, width, height,
-                      n_shards=8, cs=2176, hint_chunk=2176, n_reps=10):
+                      n_shards=8, cs=2176, hint_chunk=2176, n_reps=10,
+                      margin=1):
     """Time the 8 per-shard workloads of the sharded RE-HINT motion pose
     (parallel/motion.py) on the local chip at a camera MOVED one
     3-degree orbit step from the bench pose.  Each shard's pose cost is
@@ -763,7 +764,7 @@ def _time_v5e8_motion(jax, jnp, tree, leaf_map, cam, opt, steps, nrec,
     perm, _inv = accel.order_from_packed_device(ph)
     qperm = accel.quarter_order_from_packed(ph, width=width)
     cdf = np.asarray(accel.hint_class_cdf(jnp.asarray(nrec)))
-    segments = accel.segments_from_hint_cdf(cdf, R, margin=1,
+    segments = accel.segments_from_hint_cdf(cdf, R, margin=margin,
                                             top_headroom=False)
     pix_str = pmotion._deal(perm, n_shards, cs)
     qpix_str = pmotion._deal(qperm, n_shards, hint_chunk)
